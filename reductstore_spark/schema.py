@@ -1,0 +1,86 @@
+"""Core data model: the ``records`` table.
+
+Spark mapping of the reference's Record protobuf (reference:
+reductstore/src/proto/storage.proto:25-44):
+
+    bucket          string      -- namespace
+    entry           string      -- time-series name, may be nested ("cam1/front")
+    ts              long        -- UNIX µs; the record ID within an entry
+    payload         binary      -- opaque blob
+    content_type    string
+    state           int         -- 0 STARTED, 1 FINISHED, 2 ERRORED, 3 INVALID
+    labels          map<string,string>
+    computed_labels map<string,string>  -- extension outputs (@label refs)
+
+Physically: Parquet partitioned by (entry, ts_day).  Parquet row-group
+min/max stats on ``ts`` replace the reference's BlockIndex for pruning
+(storage.proto:79-99); partitioning on a derived day bucket gives
+partition pruning for time-range queries at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_STARTED, STATE_FINISHED, STATE_ERRORED, STATE_INVALID = 0, 1, 2, 3
+
+RECORDS_SCHEMA = StructType([
+    StructField("bucket", StringType(), False),
+    StructField("entry", StringType(), False),
+    StructField("ts", LongType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("content_type", StringType(), True),
+    StructField("state", IntegerType(), False),
+    StructField("labels", MapType(StringType(), StringType()), False),
+    StructField("computed_labels", MapType(StringType(), StringType()), False),
+])
+
+US_PER_DAY = 86_400_000_000
+
+
+def with_partition_cols(df: DataFrame) -> DataFrame:
+    """Add the derived day-bucket partition column used by the store layout."""
+    return df.withColumn("ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long"))
+
+
+def events_as_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table into the records model.
+
+    entry  <- event_type   (one time series per type)
+    ts     <- epoch µs of the event timestamp
+    labels <- user / value / k (from props JSON) / big (sparse: only when
+              value > 100, exercising $exists and missing-label paths)
+    state  <- FINISHED
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts arrives as long nanoseconds (see session.py nanosAsLong); integer
+    # DIV keeps exactness -- double division would lose precision at 1e18
+    ts_us = F.expr("ts DIV 1000")
+    base_labels = F.create_map(
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+        F.lit("k"), F.get_json_object(F.col("props"), "$.k"),
+        F.lit("big"), F.when(F.col("value") > 100.0, F.lit("true")),
+    )
+    return (
+        ev.select(
+            F.lit("events").alias("bucket"),
+            F.col("event_type").alias("entry"),
+            ts_us.alias("ts"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit("application/json").alias("content_type"),
+            F.lit(STATE_FINISHED).alias("state"),
+            F.map_filter(base_labels, lambda k, v: v.isNotNull()).alias("labels"),
+            F.lit(None).cast("map<string,string>").alias("computed_labels"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory with the engine's required configuration.
+
+The condition language needs non-ANSI (wrapping/try) SQL semantics and a
+UTC session timezone (timestamps are UNIX µs instants; date operators
+shift explicitly via from_utc_timestamp).  AQE is enabled for runtime
+re-planning (skew joins, partition coalescing) — essential at the
+100 TB design point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine-required confs to any builder (usable on a real cluster)."""
+    return (
+        builder
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS) which Spark
+        # only reads as a long (nanoseconds) -- converted to µs in schema.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+
+
+def get_session(app_name: str = "reductstore-spark", master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session for tests/bench; cluster deployments call
+    ``configure`` on their own builder instead."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    builder = configure(builder)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+    )
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    return builder.getOrCreate()
