@@ -1,0 +1,97 @@
+"""Entry-name glob matching for multi-entry queries.
+
+Python port of the reference's matcher semantics (reference:
+reductstore/src/storage/entry/pattern.rs:4-76 and the include/exclude
+resolution of storage/bucket/query.rs:96-154):
+
+* ``*`` matches within a path segment,
+* a pattern without ``/`` ending in a single ``*`` is a raw prefix match
+  (crosses segments: ``cam*`` matches ``cam1/front``),
+* ``**`` matches zero or more whole segments,
+* ``!pattern`` excludes,
+* an exact name match always includes.
+
+At scale, patterns are resolved against the (small) entry list — mirroring
+the reference's entry registry — and become an ``isin`` filter that prunes
+``entry`` partitions; records are never glob-matched row-by-row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence
+
+
+def _segment_matches(entry_seg: str, pattern_seg: str) -> bool:
+    if pattern_seg == "**":
+        return True
+    rest = entry_seg
+    parts = pattern_seg.split("*")
+    first = parts[0]
+    if first:
+        if not rest.startswith(first):
+            return False
+        rest = rest[len(first):]
+    middle = [p for p in parts[1:] if p]
+    for idx, part in enumerate(middle):
+        last = idx == len(middle) - 1
+        if last and not pattern_seg.endswith("*"):
+            return rest.endswith(part)
+        i = rest.find(part)
+        if i < 0:
+            return False
+        rest = rest[i + len(part):]
+    return pattern_seg.endswith("*") or rest == ""
+
+
+def _matches_from(entry_parts: Sequence[str], pattern_parts: Sequence[str]) -> bool:
+    if not pattern_parts:
+        return not entry_parts
+    head, tail = pattern_parts[0], pattern_parts[1:]
+    if head == "**":
+        if _matches_from(entry_parts, tail):
+            return True
+        return bool(entry_parts) and _matches_from(entry_parts[1:], pattern_parts)
+    if not entry_parts:
+        return False
+    return _segment_matches(entry_parts[0], head) and _matches_from(entry_parts[1:], tail)
+
+
+def entry_matches_pattern(entry: str, pattern: str) -> bool:
+    pattern = pattern.lstrip("/")
+    if "*" not in pattern:
+        return entry == pattern
+    if "/" not in pattern and pattern.endswith("*") and pattern.count("*") == 1:
+        return entry.startswith(pattern[:-1])
+    return _matches_from(entry.split("/"), pattern.split("/"))
+
+
+def filter_entries(names: Iterable[str], patterns: Sequence[str] | None) -> List[str]:
+    """Resolve include/exclude patterns against an entry list
+    (bucket/query.rs:96-154). ``None`` or ``["*"]`` selects everything;
+    hidden system entries (``$``-prefixed, e.g. ``x/$meta``) are only
+    matched by exact name."""
+    names = list(names)
+    if patterns is None:
+        return [n for n in names if _wildcard_queryable(n)]
+    include = [p for p in patterns if not (p.startswith("!") and len(p) > 1)]
+    exclude = [p[1:] for p in patterns if p.startswith("!") and len(p) > 1]
+    out = []
+    for name in names:
+        if any(p == "*" for p in include) or not include:
+            included = _wildcard_queryable(name)
+        elif any(p == name for p in include):
+            included = True
+        else:
+            included = any(entry_matches_pattern(name, p) for p in include) and \
+                _wildcard_queryable(name)
+        if included and not any(
+            p == name or entry_matches_pattern(name, p) for p in exclude
+        ):
+            out.append(name)
+    return out
+
+
+def _wildcard_queryable(name: str) -> bool:
+    """System entries like ``<entry>/$meta`` are hidden from wildcard
+    queries (reference: storage/entry/system.rs:10-42)."""
+    return not any(seg.startswith("$") for seg in name.split("/"))

@@ -1,0 +1,103 @@
+"""QueryEngine: the reference's query surface over records DataFrames.
+
+Mirrors the query lifecycle (reference: storage/entry.rs:150-212,
+storage/query/historical.rs:50-235, storage/bucket/query.rs:40-63):
+
+    entries glob resolve -> time-range filter (start incl, stop excl)
+    -> FINISHED-state filter -> when plan -> (k-way merge) order by
+    (ts, entry)
+
+plus the query-driven mutations: count, remove-query, label updates.
+
+Everything is a declarative DataFrame chain: Catalyst pushes the time
+range and state filters into the Parquet scan, the entry-glob filter
+prunes partitions, and ordering happens once at the end (a single
+range-partitioned sort — the distributed equivalent of the reference's
+per-entry k-way merge).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .condition.parser import parse_when
+from .operators.glob import filter_entries
+from .plans.planner import plan_parsed
+from .schema import STATE_FINISHED
+
+
+class QueryEngine:
+    """Stateless facade; operates on any records-schema DataFrame
+    (a RecordStore.read(), a mapped source, or a test fixture)."""
+
+    def query(
+        self,
+        records: DataFrame,
+        entries: Optional[Sequence[str]] = None,
+        start: Optional[int] = None,
+        stop: Optional[int] = None,
+        when=None,
+        strict: bool = False,
+        only_metadata: bool = False,
+        ordered: bool = True,
+    ) -> DataFrame:
+        df = self._scan(records, entries, start, stop)
+        if when is not None:
+            node, directives = parse_when(when)
+            df = plan_parsed(df, node, directives, strict)
+        if only_metadata:
+            df = df.withColumn("payload", F.lit(None).cast("binary"))
+        if ordered:
+            # multi-entry merge order: smallest (timestamp, entry) first
+            # (bucket/query.rs:272-282)
+            df = df.orderBy("ts", "entry")
+        return df
+
+    def count(self, records: DataFrame, **kwargs) -> int:
+        """Count matching records without fetching payloads
+        (remove_records.rs:163-216)."""
+        kwargs.setdefault("only_metadata", True)
+        kwargs["ordered"] = False
+        return self.query(records, **kwargs).count()
+
+    def matched_keys(self, records: DataFrame, **kwargs) -> DataFrame:
+        """(bucket, entry, ts) keys a query matches — the input to
+        RecordStore.remove_matched (query-driven bulk delete)."""
+        kwargs["ordered"] = False
+        kwargs.setdefault("only_metadata", True)
+        return self.query(records, **kwargs).select("bucket", "entry", "ts")
+
+    def remove_query(self, store, records: DataFrame, **kwargs) -> int:
+        """Delete everything the query matches (QueryType::Remove,
+        remove_records.rs:62-160); returns removed record count."""
+        return store.remove_matched(self.matched_keys(records, **kwargs))
+
+    # -- internals -------------------------------------------------------
+    def _scan(
+        self,
+        records: DataFrame,
+        entries: Optional[Sequence[str]],
+        start: Optional[int],
+        stop: Optional[int],
+    ) -> DataFrame:
+        df = records
+        if entries is not None:
+            names = [r["entry"] for r in df.select("entry").distinct().collect()]
+            selected = filter_entries(names, list(entries))
+            df = df.where(F.col("entry").isin(selected))
+        else:
+            # wildcard scan: hidden $-entries excluded (entry/system.rs),
+            # JVM-side so no driver round-trip
+            df = df.where(~F.col("entry").rlike(r"(^|/)\$"))
+        # TimeRangeFilter: start inclusive, stop exclusive
+        # (filters/time_range.rs:8-40)
+        if start is not None:
+            df = df.where(F.col("ts") >= F.lit(int(start)))
+        if stop is not None:
+            df = df.where(F.col("ts") < F.lit(int(stop)))
+        # RecordStateFilter: only FINISHED records (historical.rs:81)
+        df = df.where(F.col("state") == F.lit(STATE_FINISHED))
+        return df

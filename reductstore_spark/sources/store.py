@@ -1,0 +1,196 @@
+"""RecordStore: partitioned-Parquet storage for the records data model.
+
+Spark-native replacement for the reference's block storage
+(reference: reductstore/src/storage/block_manager.rs, entry/write_record.rs):
+
+* layout: ``<root>/bucket=<b>/entry=<e>/ts_day=<d>/*.parquet`` — partition
+  pruning on (bucket, entry, day); Parquet row-group min/max stats on
+  ``ts`` replace the reference's BlockIndex for intra-day block pruning
+* **timestamp-as-ID upserts**: each write batch gets a monotonically
+  increasing ``__seq``; readers keep the newest version per
+  (bucket, entry, ts) — belated/duplicate writes (write_record.rs:61-199)
+  become shadowed rows, removed on compaction
+* bulk delete (remove-query) and label updates rewrite only the affected
+  day partitions (dynamic partition overwrite)
+* quota/lifecycle: FIFO eviction drops the oldest day partitions
+  (bucket/quotas.rs:45-110); compress/compact rewrites old partitions
+  (zstd is the store codec already; lifecycle/action/compress.rs)
+
+All operations are declarative DataFrame transforms — no driver-side
+iteration over records — so they scale with executors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import RECORDS_SCHEMA, US_PER_DAY
+
+_PARTITIONING = ["bucket", "entry", "ts_day"]
+
+
+class RecordStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- write path ------------------------------------------------------
+    def write(self, df: DataFrame) -> None:
+        """Append a batch of records; same-(bucket,entry,ts) rows shadow
+        older versions (upsert-on-read, compact() to materialize)."""
+        seq = self._next_seq()
+        out = (
+            df.select(*[f.name for f in RECORDS_SCHEMA.fields])
+            .withColumn("__seq", F.lit(seq))
+            .withColumn("ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long"))
+        )
+        (out.repartition(*[F.col(c) for c in _PARTITIONING])
+            .write.mode("append").partitionBy(*_PARTITIONING).parquet(self.root))
+
+    def _next_seq(self) -> int:
+        if not self._exists():
+            return 1
+        raw = self.spark.read.parquet(self.root)
+        mx = raw.agg(F.max("__seq")).collect()[0][0]
+        return int(mx or 0) + 1
+
+    def _exists(self) -> bool:
+        try:
+            return any(
+                name.startswith("bucket=") for name in os.listdir(self.root)
+            )
+        except FileNotFoundError:
+            return False
+
+    # -- read path -------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Current table state: newest version per (bucket, entry, ts)."""
+        raw = self.spark.read.parquet(self.root)
+        w = Window.partitionBy("bucket", "entry", "ts").orderBy(F.col("__seq").desc())
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__seq", "ts_day")
+        )
+
+    def entries(self, bucket: Optional[str] = None):
+        """Distinct (bucket, entry) pairs from partition metadata — a
+        metadata-only scan thanks to partition columns."""
+        df = self.spark.read.parquet(self.root).select("bucket", "entry").distinct()
+        if bucket:
+            df = df.where(F.col("bucket") == bucket)
+        return [(r["bucket"], r["entry"]) for r in df.collect()]
+
+    # -- mutation --------------------------------------------------------
+    def remove_matched(self, matched: DataFrame) -> int:
+        """Delete every record a query matched (QueryType::Remove,
+        storage/entry/remove_records.rs:62-160): anti-join rewrite of the
+        affected day partitions only."""
+        keys = matched.select("bucket", "entry", "ts").distinct()
+        n = keys.count()
+        if n == 0:
+            return 0
+        raw = self.spark.read.parquet(self.root)
+        affected = keys.withColumn(
+            "ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long")
+        ).select("bucket", "entry", "ts_day").distinct()
+        part = raw.join(F.broadcast(affected), _PARTITIONING, "left_semi")
+        kept = part.join(F.broadcast(keys), ["bucket", "entry", "ts"], "left_anti")
+        self._overwrite_partitions(kept)
+        return n
+
+    def update_labels(self, updates: DataFrame) -> int:
+        """Batch label upsert/remove (storage/entry/update_labels.rs:14-160).
+
+        ``updates`` columns: bucket, entry, ts, upsert map<string,string>,
+        remove array<string>.  Per-record merge: new/changed keys win,
+        listed keys are removed."""
+        keys = updates.select("bucket", "entry", "ts").distinct()
+        if keys.count() == 0:
+            return 0
+        raw = self.spark.read.parquet(self.root)
+        affected = keys.withColumn(
+            "ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long")
+        ).select("bucket", "entry", "ts_day").distinct()
+        part = raw.join(F.broadcast(affected), _PARTITIONING, "left_semi")
+        joined = part.join(F.broadcast(updates), ["bucket", "entry", "ts"], "left")
+        merged = (
+            F.when(
+                F.col("upsert").isNotNull() | F.col("remove").isNotNull(),
+                F.map_filter(
+                    F.map_concat(
+                        F.map_filter(
+                            F.coalesce(F.col("labels"),
+                                       F.lit(None).cast("map<string,string>")),
+                            lambda k, v: ~F.coalesce(
+                                F.map_contains_key(
+                                    F.coalesce(F.col("upsert"),
+                                               F.expr("map()")), k),
+                                F.lit(False)),
+                        ),
+                        F.coalesce(F.col("upsert"), F.expr("map()")),
+                    ),
+                    lambda k, v: ~F.coalesce(
+                        F.array_contains(F.col("remove"), k), F.lit(False)),
+                ),
+            ).otherwise(F.col("labels"))
+        )
+        n = updates.count()
+        out = joined.withColumn("labels", merged).drop("upsert", "remove")
+        self._overwrite_partitions(out)
+        return n
+
+    def _overwrite_partitions(self, df: DataFrame) -> None:
+        # dynamic partition overwrite replaces only the partitions present
+        # in df; the parquet source cannot overwrite the path it is reading,
+        # so persist the affected rows first
+        rows = df.persist()
+        rows.count()
+        (rows.write.mode("overwrite").partitionBy(*_PARTITIONING).parquet(self.root))
+        rows.unpersist()
+
+    # -- lifecycle -------------------------------------------------------
+    def compact(self) -> None:
+        """Materialize upserts/deletes: rewrite every partition keeping
+        only the newest version per (bucket, entry, ts)."""
+        raw = self.spark.read.parquet(self.root)
+        w = Window.partitionBy("bucket", "entry", "ts").orderBy(F.col("__seq").desc())
+        deduped = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn")
+        )
+        self._overwrite_partitions(deduped)
+
+    def evict_fifo(self, bucket: str, quota_bytes: int) -> int:
+        """FIFO quota: drop oldest day partitions while the bucket exceeds
+        its quota (bucket/quotas.rs:45-110). Returns partitions dropped."""
+        import shutil
+
+        dropped = 0
+        while True:
+            days = self._bucket_days(bucket)
+            if not days:
+                return dropped
+            total = sum(size for _, _, size in days)
+            if total <= quota_bytes or len(days) <= 1:
+                return dropped
+            oldest = min(days, key=lambda d: d[1])
+            shutil.rmtree(oldest[0], ignore_errors=True)
+            dropped += 1
+
+    def _bucket_days(self, bucket: str):
+        out = []
+        broot = os.path.join(self.root, f"bucket={bucket}")
+        for dirpath, _dirnames, filenames in os.walk(broot):
+            if "ts_day=" in os.path.basename(dirpath):
+                day = int(os.path.basename(dirpath).split("=", 1)[1])
+                size = sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in filenames
+                )
+                out.append((dirpath, day, size))
+        return out

@@ -1,0 +1,103 @@
+"""Column compiler vs interpreter equivalence on Spark.
+
+The interpreter is the exact reference semantics; the Catalyst compiler
+must agree on every record (non-strict: evaluation errors -> excluded).
+All conditions are evaluated in a single Spark job for speed.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from reductstore_spark.condition import values as V
+from reductstore_spark.condition.columns import ColumnCompiler, compile_filter
+from reductstore_spark.condition.interpreter import Context, Evaluator
+from reductstore_spark.condition.parser import parse_when
+
+ROWS = [
+    (0, {"label": "10", "flag": "true", "score": "55.5", "status": "ok"}),
+    (1704067200123456, {"label": "-3", "flag": "false", "score": "0.0", "status": "error"}),
+    (5, {"label": "abc", "score": "100.0"}),
+    (1000, {"flag": "true", "k": "87"}),
+    (2000, {"label": "1e3", "score": "-55.5", "status": ""}),
+    (3000, {"label": "+42", "weird": " 5", "status": "o k"}),
+]
+
+CONDS = [
+    '{"&label": {"$gt": 5}}',
+    '{"&score": {"$gte": 55.5}}',
+    '{"$and": [{"&flag": {"$eq": true}}, {"&score": {"$lt": 100}}]}',
+    '{"$or": ["&flag", {"&label": {"$eq": "abc"}}]}',
+    '{"$exists": ["flag", "score"]}',
+    '{"$in": ["&status", "ok", "warn"]}',
+    '{"$contains": ["&status", "rr"]}',
+    '{"$eq": [{"$add": ["&label", 5]}, 15]}',
+    '{"$eq": [{"$div": ["&label", 4]}, 2.5]}',
+    '{"$eq": [{"$rem": ["&label", 6]}, 4]}',
+    '{"$gt": [{"$abs": ["&label"]}, 2]}',
+    '{"$eq": [{"$hour": ["$timestamp", "Europe/Berlin"]}, 1]}',
+    '{"$eq": [{"$weekday": ["$timestamp"]}, 0]}',
+    '{"$eq": [{"$cast": ["&score", "int"]}, 55]}',
+    '{"$eq": [{"$ref": ["status"]}, "ok"]}',
+    '{"$starts_with": ["&status", "o"]}',
+    '{"$ne": ["&label", "abc"]}',
+    '{"$nin": ["&status", "error", "warn"]}',
+    '{"$xor": ["&flag", {"&score": {"$gt": 50}}]}',
+    '{"$eq": [{"$sub": ["1h", "30m"]}, "30m"]}',
+    '{"$lte": ["&label", 10]}',
+    '{"$not": [{"$exists": ["nope"]}]}',
+    '{"$eq": [{"$mult": ["&k", 2]}, 174]}',
+    '{"$eq": [{"$div_num": [-3, 2]}, -1]}',
+    '{"$gt": ["&label", "5"]}',
+    '{"$ends_with": ["&status", "k"]}',
+    # dynamic-typing edge cases
+    '{"&label": {"$eq": 1000.0}}',        # "1e3" parses as float
+    '{"&label": {"$eq": 42}}',            # "+42" parses as int
+    '{"&weird": {"$eq": " 5"}}',          # " 5" stays a string
+    '{"$eq": ["&status", "o k"]}',
+    '{"$or": [{"$exists": ["weird"]}, {"&score": {"$lt": 0}}]}',
+    '{"$and": []}', '{"$or": []}',
+    '{"$gt": [{"$cast": ["&label", "float"]}, -100]}',
+    '{"$eq": [{"$add": ["&status", "!"]}, "ok!"]}',
+]
+
+
+def interp_expected(node):
+    out = []
+    for ts, lb in ROWS:
+        ev = Evaluator(node)
+        try:
+            out.append(V.as_bool(ev.apply(Context(ts, lb))))
+        except V.CondError:
+            out.append(False)
+    return out
+
+
+def test_equivalence_matrix(spark):
+    df = spark.createDataFrame(
+        ROWS, "ts long, labels map<string,string>"
+    ).coalesce(1)
+    cols = []
+    parsed = []
+    for i, cond in enumerate(CONDS):
+        node, _ = parse_when(json.loads(cond))
+        parsed.append(node)
+        cc = ColumnCompiler(F.col("ts"), F.col("labels"))
+        cols.append(cc.predicate(node).alias(f"c{i}"))
+    res = df.select(*cols).collect()
+    mismatches = []
+    for i, cond in enumerate(CONDS):
+        got = [r[i] for r in res]
+        want = interp_expected(parsed[i])
+        if got != want:
+            mismatches.append((cond, got, want))
+    assert not mismatches, mismatches
+
+
+def test_strict_mode_raises_jvm_side(spark):
+    df = spark.createDataFrame(ROWS, "ts long, labels map<string,string>")
+    node, _ = parse_when({"&nope": {"$gt": 1}})
+    with pytest.raises(Exception, match="not found"):
+        compile_filter(df, node, strict=True, computed_col=None).count()
+    assert compile_filter(df, node, computed_col=None).count() == 0

@@ -1,0 +1,155 @@
+"""Stateful operator sequences + WhenFilter pipeline, pure Python.
+
+Golden sequences ported from reference tests: each_n.rs:60-90,
+each_t.rs:78-140, gate.rs:125-260, limit.rs:55-65,
+filters/when.rs:109-393 (ctx padding), ctx_before.rs / ctx_after.rs.
+"""
+
+import pytest
+
+from reductstore_spark.condition import values as V
+from reductstore_spark.condition.ast import Const, Op
+from reductstore_spark.condition.interpreter import (
+    Context,
+    Evaluator,
+    FilterRecord,
+    WhenFilter,
+)
+from reductstore_spark.condition.parser import parse_when
+from reductstore_spark.condition.values import CondError, Interrupt, vbool, vdur, vfloat, vint
+
+
+def seq(ev, timestamps, labels=None):
+    out = []
+    for ts in timestamps:
+        out.append(V.as_bool(ev.apply(Context(ts, labels or {}))))
+    return out
+
+
+class TestEachN:
+    def test_keeps_every_nth(self):
+        ev = Evaluator(Op("$each_n", [Const(vint(2))]))
+        assert seq(ev, [0, 0, 0]) == [False, True, False]
+
+    def test_zero_is_error(self):
+        ev = Evaluator(Op("$each_n", [Const(vint(0))]))
+        with pytest.raises(CondError):
+            ev.apply(Context(0, {}))
+
+    def test_string_operand_error(self):
+        ev = Evaluator(Op("$each_n", [Const(V.vstr("foo"))]))
+        with pytest.raises(CondError):
+            ev.apply(Context(0, {}))
+
+
+class TestEachT:
+    @pytest.mark.parametrize("operand", [vfloat(0.1), vdur(100_000)])
+    def test_emit_suppress_sequence(self, operand):
+        ev = Evaluator(Op("$each_t", [Const(operand)]))
+        assert seq(ev, [0, 1, 100_001, 100_002]) == [False, False, True, False]
+
+    def test_zero_always_true(self):
+        ev = Evaluator(Op("$each_t", [Const(vint(0))]))
+        assert seq(ev, [0]) == [True]
+
+    def test_time_backwards_resets(self):
+        ev = Evaluator(Op("$each_t", [Const(vfloat(0.1))]))
+        assert seq(ev, [200_000, 100_000, 200_000]) == [False, False, True]
+
+
+class TestGate:
+    def test_duration_literal_window(self):
+        # gate.rs:137-158: open at 100, deadline 10_000_100
+        ev = Evaluator(Op("$gate", [Const(vdur(10_000_000)), Const(vbool(True))]))
+        assert seq(ev, [100, 9_999_999, 10_000_100, 10_000_101]) == \
+            [True, True, False, False]
+
+    def test_float_seconds(self):
+        ev = Evaluator(Op("$gate", [Const(vfloat(0.1)), Const(vbool(True))]))
+        assert seq(ev, [0, 99_999, 100_000]) == [True, True, False]
+
+    def test_reset_cycle(self):
+        node = Op("$gate", [Const(vdur(1)), Const(vbool(True))])
+        ev = Evaluator(node)
+        assert seq(ev, [0, 1, 2]) == [True, False, False]
+        # input false once -> reset latch clears
+        ev.children[1] = Evaluator(Const(vbool(False)))
+        assert seq(ev, [3]) == [False]
+        ev.children[1] = Evaluator(Const(vbool(True)))
+        assert seq(ev, [4]) == [True]
+
+    def test_time_backwards_resets(self):
+        ev = Evaluator(Op("$gate", [Const(vdur(100_000)), Const(vbool(True))]))
+        assert seq(ev, [200_000, 100_000]) == [True, True]
+
+
+class TestLimit:
+    def test_interrupt_after_n(self):
+        ev = Evaluator(Op("$limit", [Const(vint(2))]))
+        assert seq(ev, [0, 1]) == [True, True]
+        with pytest.raises(Interrupt):
+            ev.apply(Context(2, {}))
+
+
+def run_filter(when, records, strict=False):
+    node, dirs = parse_when(when)
+    wf = WhenFilter(node, dirs, strict)
+    out = []
+    for ts, labels in records:
+        emitted = wf.feed(FilterRecord(ts, labels, {}))
+        if emitted is None:
+            break
+        out.extend((r.timestamp, r.labels) for r in emitted)
+    return out
+
+
+class TestWhenFilterPipeline:
+    RECORDS = [(i * 1000, {"v": str(i)}) for i in range(10)]
+
+    def test_plain(self):
+        got = run_filter({"&v": {"$eq": 5}}, self.RECORDS)
+        assert [ts for ts, _ in got] == [5000]
+
+    def test_ctx_before_records(self):
+        got = run_filter({"#ctx_before": 2, "&v": {"$eq": 5}}, self.RECORDS)
+        assert [ts for ts, _ in got] == [3000, 4000, 5000]
+
+    def test_ctx_after_records(self):
+        got = run_filter({"#ctx_after": 2, "&v": {"$eq": 5}}, self.RECORDS)
+        assert [ts for ts, _ in got] == [5000, 6000, 7000]
+
+    def test_ctx_before_duration(self):
+        got = run_filter({"#ctx_before": "1500us", "&v": {"$eq": 5}}, self.RECORDS)
+        assert [ts for ts, _ in got] == [4000, 5000]
+
+    def test_ctx_no_duplicates_on_adjacent_matches(self):
+        # NB: $in only supports array syntax — object syntax with an array
+        # operand is rejected (parser.rs parse_recursively: Array error)
+        got = run_filter({"#ctx_before": 2, "$in": ["&v", 4, 5]}, self.RECORDS)
+        assert [ts for ts, _ in got] == [2000, 3000, 4000, 5000]
+
+    def test_limit_interrupts_scan(self):
+        got = run_filter({"$and": [{"$limit": 3}]}, self.RECORDS)
+        assert [ts for ts, _ in got] == [0, 1000, 2000]
+
+    def test_select_labels(self):
+        recs = [(0, {"a": "1", "b": "2"})]
+        got = run_filter({"#select_labels": ["a"], "&a": {"$eq": 1}}, recs)
+        assert got == [(0, {"a": "1"})]
+
+    def test_strict_raises_nonstrict_skips(self):
+        recs = [(0, {"a": "1"}), (1, {})]
+        got = run_filter({"&a": {"$eq": 1}}, recs)
+        assert [ts for ts, _ in got] == [0]
+        with pytest.raises(CondError):
+            run_filter({"&a": {"$eq": 1}}, recs, strict=True)
+
+    def test_ctx_padding_validation(self):
+        with pytest.raises(CondError):
+            run_filter({"#ctx_before": -1, "&v": {"$eq": 1}}, self.RECORDS)
+        with pytest.raises(CondError):
+            run_filter({"#ctx_before": "invalid", "&v": {"$eq": 1}}, self.RECORDS)
+        with pytest.raises(CondError):
+            run_filter({"#select_labels": [1], "&v": {"$eq": 1}}, self.RECORDS)
+        with pytest.raises(CondError):
+            run_filter({"#bogus": 1, "&v": {"$eq": 1}}, self.RECORDS)

@@ -1,0 +1,95 @@
+"""RecordStore: layout, upsert-by-timestamp, remove-query, label updates,
+FIFO eviction, compaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reductstore_spark.query import QueryEngine
+from reductstore_spark.sources.store import RecordStore
+
+SCHEMA = ("bucket string, entry string, ts long, payload binary, "
+          "content_type string, state int, labels map<string,string>, "
+          "computed_labels map<string,string>")
+
+
+def mk_rows(entry, n, base=0, label="a"):
+    return [("b1", entry, base + i * 1_000_000, bytes([i % 250]), "text/plain", 1,
+             {label: str(i)}, {}) for i in range(n)]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return RecordStore(spark, str(tmp_path / "store"))
+
+
+def test_write_read_roundtrip(spark, store):
+    df = spark.createDataFrame(mk_rows("e1", 10), SCHEMA)
+    store.write(df)
+    got = store.read()
+    assert got.count() == 10
+    assert sorted(got.columns) == sorted(
+        ["bucket", "entry", "ts", "payload", "content_type", "state",
+         "labels", "computed_labels"])
+
+
+def test_upsert_same_timestamp_wins(spark, store):
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    # overwrite ts=0 with a new label value (timestamp-as-ID upsert)
+    store.write(spark.createDataFrame(
+        [("b1", "e1", 0, None, "", 1, {"a": "NEW"}, {})], SCHEMA))
+    got = store.read()
+    assert got.count() == 5
+    row = got.where(F.col("ts") == 0).collect()[0]
+    assert row["labels"]["a"] == "NEW"
+
+
+def test_belated_write_lands_in_order(spark, store):
+    store.write(spark.createDataFrame(mk_rows("e1", 3, base=10_000_000), SCHEMA))
+    store.write(spark.createDataFrame(mk_rows("e1", 1, base=0), SCHEMA))  # belated
+    ts = [r["ts"] for r in QueryEngine().query(store.read()).select("ts").collect()]
+    assert ts == sorted(ts) and ts[0] == 0
+
+
+def test_remove_query(spark, store):
+    store.write(spark.createDataFrame(mk_rows("e1", 10), SCHEMA))
+    qe = QueryEngine()
+    removed = qe.remove_query(store, store.read(), when={"$and": [{"$each_n": 2}]})
+    assert removed == 5
+    assert store.read().count() == 5
+
+
+def test_update_labels(spark, store):
+    store.write(spark.createDataFrame(mk_rows("e1", 4), SCHEMA))
+    updates = spark.createDataFrame(
+        [("b1", "e1", 0, {"x": "1"}, ["a"]),
+         ("b1", "e1", 1_000_000, {"a": "9"}, [])],
+        "bucket string, entry string, ts long, upsert map<string,string>, "
+        "remove array<string>")
+    n = store.update_labels(updates)
+    assert n == 2
+    got = {r["ts"]: r["labels"] for r in store.read().collect()}
+    assert got[0] == {"x": "1"}          # upsert new + removed old
+    assert got[1_000_000] == {"a": "9"}  # value replaced
+    assert got[2_000_000] == {"a": "2"}  # untouched
+
+
+def test_compact_drops_shadows(spark, store):
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))  # full shadow
+    raw = spark.read.parquet(store.root)
+    assert raw.count() == 10
+    store.compact()
+    assert spark.read.parquet(store.root).count() == 5
+    assert store.read().count() == 5
+
+
+def test_evict_fifo(spark, store):
+    # 3 records on 3 different days
+    rows = [("b1", "e1", day * 86_400_000_000, b"x" * 100, "", 1, {}, {})
+            for day in range(3)]
+    store.write(spark.createDataFrame(rows, SCHEMA))
+    dropped = store.evict_fifo("b1", quota_bytes=1)  # force eviction to 1 partition
+    assert dropped == 2
+    assert store.read().count() == 1
+    # newest day survived
+    assert store.read().collect()[0]["ts"] == 2 * 86_400_000_000

@@ -1,0 +1,182 @@
+"""Pure-Python semantics tests: value coercions, duration literals, and the
+reference's operator truth table run through the interpreter.
+
+Golden cases ported from reference tests:
+condition/parser.rs:699-781 (operator truth table),
+condition/value/cmp.rs:73+ (coercion matrices),
+core/duration.rs:51-70 (duration literals).
+"""
+
+import json
+
+import pytest
+
+from reductstore_spark.condition import values as V
+from reductstore_spark.condition.interpreter import Context, Evaluator
+from reductstore_spark.condition.parser import parse_when
+from reductstore_spark.condition.values import (
+    CondError,
+    fmt_duration,
+    parse_duration_us,
+    parse_str_value,
+    vbool,
+    vdur,
+    vfloat,
+    vint,
+    vstr,
+)
+
+
+def evaluate(cond, ts=0, labels=None):
+    node, _ = parse_when(json.loads(cond) if isinstance(cond, str) else cond)
+    return V.as_bool(Evaluator(node).apply(Context(ts, labels or {})))
+
+
+CTX_LABELS = {"label": "10"}
+
+# one case per operator: {"$eq": [expected, {op: operands}]} must be truthy
+# (parser.rs:699-781)
+TRUTH_TABLE = [
+    '{"$eq":[3.0, {"$add": [1, 2.0]}]}',
+    '{"$eq":[-1, {"$sub": [1, 2]}]}',
+    '{"$eq":[6, {"$mult": [2, 3]}]}',
+    '{"$eq":[1.5, {"$div": [3, 2]}]}',
+    '{"$eq":[1, {"$div_num": [3, 2]}]}',
+    '{"$eq":[-4, {"$rem": [-10, 6]}]}',
+    '{"$eq":[10, {"$abs": [-10]}]}',
+    '{"$eq":[false, {"$and": [true, false]}]}',
+    '{"$eq":[false, {"$all_of": [true, false]}]}',
+    '{"$eq":[true, {"$or": [true, false]}]}',
+    '{"$eq":[true, {"$any_of": [true, false]}]}',
+    '{"$eq":[false, {"$not": [true]}]}',
+    '{"$eq":[false, {"$none_of": [true, true]}]}',
+    '{"$eq":[false, {"$xor": [true, true]}]}',
+    '{"$eq":[false, {"$one_of": [true, true]}]}',
+    '{"$in": ["a", "a", "b"]}',
+    '{"$eq":[false, {"$nin": ["a", "a", "b"]}]}',
+    '{"$eq":[10, 10]}',
+    '{"$gt":[20, 10]}',
+    '{"$gte":[20, 10]}',
+    '{"$eq":[false, {"$lt": [20, 10]}]}',
+    '{"$eq":[false, {"$lte": [20, 10]}]}',
+    '{"$ne":[-10, 10]}',
+    '{"$eq":[0, {"$second": [1704067200123456]}]}',
+    '{"$eq":[0, {"$second": [1704067200123456, "Europe/Berlin"]}]}',
+    '{"$eq":[0, {"$minute": [1704067200123456]}]}',
+    '{"$eq":[0, {"$minute": [1704067200123456, "Europe/Berlin"]}]}',
+    '{"$eq":[0, {"$hour": [1704067200123456]}]}',
+    '{"$eq":[1, {"$hour": [1704067200123456, "Europe/Berlin"]}]}',
+    '{"$eq":[1, {"$day": [1704067200123456]}]}',
+    '{"$eq":[31, {"$day": [1704067200123456, "America/New_York"]}]}',
+    '{"$eq":[1, {"$month": [1704067200123456]}]}',
+    '{"$eq":[12, {"$month": [1704067200123456, "America/New_York"]}]}',
+    '{"$eq":[2024, {"$year": [1704067200123456]}]}',
+    '{"$eq":[2023, {"$year": [1704067200123456, "America/New_York"]}]}',
+    '{"$eq":[0, {"$weekday": [1704067200123456]}]}',
+    '{"$eq":[6, {"$weekday": [1704067200123456, "America/New_York"]}]}',
+    '{"$contains": ["abc", "b"]}',
+    '{"$starts_with": ["abc", "ab"]}',
+    '{"$ends_with": ["abc", "bc"]}',
+    '{"$exists": ["label"]}',
+    '{"$has": ["label"]}',
+    '{"$eq":[10, {"$cast": [10.0, "int"]}]}',
+    '{"$eq":[10, {"$ref": ["label"]}]}',
+    '{"$eq":[0, "$timestamp"]}',
+    '{"$eq":[0, "$id"]}',
+]
+
+
+@pytest.mark.parametrize("cond", TRUTH_TABLE)
+def test_truth_table(cond):
+    assert evaluate(cond, labels=CTX_LABELS) is True
+
+
+def test_dynamic_parse_order():
+    assert parse_str_value("true") == vbool(True)
+    assert parse_str_value("false") == vbool(False)
+    assert parse_str_value("10") == vint(10)
+    assert parse_str_value("-3") == vint(-3)
+    assert parse_str_value("1.5") == vfloat(1.5)
+    assert parse_str_value("abc") == vstr("abc")
+    assert parse_str_value("") == vstr("")
+    assert parse_str_value("1e3") == vfloat(1000.0)
+    # whitespace defeats numeric parse (Rust parse has no trimming)
+    assert parse_str_value(" 5") == vstr(" 5")
+
+
+def test_cross_type_eq():
+    assert V.val_eq(vbool(True), vint(1))
+    assert not V.val_eq(vbool(True), vint(-1))
+    assert V.val_eq(vint(1), vfloat(1.0))
+    assert V.val_eq(vint(1), vdur(1))
+    assert not V.val_eq(vstr("1"), vint(1))  # string vs number: never equal
+    assert not V.val_eq(vbool(True), vstr("true"))
+    assert V.val_eq(vstr("x"), vstr("x"))
+
+
+def test_string_number_ordering_is_error():
+    with pytest.raises(CondError):
+        V.val_cmp(vstr("abc"), vint(1))
+    with pytest.raises(CondError):
+        evaluate_raises = None
+        node, _ = parse_when({"$gt": ["abc", 1]})
+        Evaluator(node).apply(Context(0, {}))
+
+
+def test_arithmetic_promotion():
+    assert V.val_add(vint(1), vint(2)) == vint(3)
+    assert V.val_add(vint(1), vfloat(2.0)) == vfloat(3.0)
+    assert V.val_add(vbool(True), vbool(True)) == vint(2)
+    assert V.val_add(vstr("a"), vstr("b")) == vstr("ab")
+    with pytest.raises(CondError):
+        V.val_add(vstr("a"), vint(1))
+    assert V.val_div(vint(3), vint(2)) == vfloat(1.5)
+    with pytest.raises(CondError):
+        V.val_div(vint(1), vint(0))
+    assert V.val_div_num(vint(-3), vint(2)) == vint(-1)  # trunc toward zero
+    assert V.val_rem(vint(-10), vint(6)) == vint(-4)  # sign of dividend
+
+
+def test_truthiness():
+    assert V.as_bool(vint(5)) and not V.as_bool(vint(0))
+    assert V.as_bool(vfloat(0.1)) and not V.as_bool(vfloat(0.0))
+    assert V.as_bool(vstr("x")) and not V.as_bool(vstr(""))
+    assert V.as_bool(vdur(1)) and not V.as_bool(vdur(0))
+
+
+def test_duration_literals():
+    assert parse_duration_us("100ms 500us") == 100_500
+    assert parse_duration_us("1h -30m") == 1_800_000_000
+    assert parse_duration_us("2d 3h") == 183_600_000_000
+    assert parse_duration_us("15us") == 15
+    assert parse_duration_us("-2s") == -2_000_000
+    for bad in ["", "100xyz", "abc", "2.5m", "1h,2m"]:
+        with pytest.raises(ValueError):
+            parse_duration_us(bad)
+
+
+def test_duration_format():
+    assert fmt_duration(0) == "0us"
+    assert fmt_duration(1) == "1us"
+    assert fmt_duration(-1) == "-1us"
+    assert fmt_duration(100_500) == "100ms 500us"
+    assert fmt_duration(3_660_000_000) == "1h 1m"
+
+
+def test_string_escape_and_duration_constants():
+    # "$$x" -> literal "$x"; bare "10s" -> Duration
+    assert evaluate('{"$eq": ["$$x", "$$x"]}')
+    node, _ = parse_when({"$eq": [{"$cast": ["10s", "int"]}, 10_000_000]})
+    assert V.as_bool(Evaluator(node).apply(Context(0, {})))
+
+
+def test_strict_vs_nonstrict_missing_label():
+    node, _ = parse_when({"&missing": {"$gt": 1}})
+    with pytest.raises(CondError):
+        Evaluator(node).apply(Context(0, {}))  # raw evaluation errors
+
+
+def test_object_vs_array_syntax_equivalent():
+    a = evaluate('{"&label": {"$gt": 5}}', labels=CTX_LABELS)
+    b = evaluate('{"$gt": ["&label", 5]}', labels=CTX_LABELS)
+    assert a is True and b is True
