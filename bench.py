@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count).  A
+warmup query first absorbs session/JIT startup so numbers reflect steady
+state — which is what matters for the 100 TB design point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from pyspark.sql import functions as F
+
+    from reductstore_spark.entry_queries import QUERIES, prep
+    from reductstore_spark.session import get_session
+
+    spark = get_session("bench", master=f"local[{cpus}]",
+                        shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    prep(spark)
+
+    # warmup: trivial action to absorb JVM/codegen startup
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings = {}
+    total = 0.0
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution touching every output value, not just counts
+        df.agg(F.sum(F.xxhash64(*df.columns))).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "sum of per-query wall seconds over the SURVEY §2 inventory",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

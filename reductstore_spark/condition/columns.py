@@ -222,12 +222,38 @@ class ColumnCompiler:
                 return F.when(x["e"].isNotNull(), F.raise_error(x["e"])).otherwise(ok)
             return F.when(x["e"].isNotNull(), F.lit(False)).otherwise(
                 F.coalesce(ok, F.lit(False)))
-        return self._c(node, lambda v: self._let(F.struct(top(v).alias("p")),
-                                                 lambda r: r["p"]))
+        body = lambda: self._c(node, lambda v: self._let(F.struct(top(v).alias("p")),
+                                                         lambda r: r["p"]))
+        return self._bind_inputs(body)
 
     def value(self, node: Node) -> Column:
         """Compile to the raw tagged-struct value (for tests/projections)."""
-        return self._c(node, lambda v: v)
+        return self._bind_inputs(lambda: self._c(node, lambda v: v))
+
+    def _bind_inputs(self, body) -> Column:
+        """Let-bind the labels maps once per row before compiling.
+
+        The maps are often *derived* expressions (create_map + JSON
+        extraction over a source table); without this binding every label
+        reference re-evaluates the whole map construction per row — a
+        30x slowdown on conditions with many references."""
+        outer_labels, outer_computed = self.labels, self.computed
+
+        def with_labels(lv: Column) -> Column:
+            self.labels = lv
+
+            def with_computed(cv: Column) -> Column:
+                self.computed = cv
+                try:
+                    return body()
+                finally:
+                    self.labels, self.computed = outer_labels, outer_computed
+
+            return self._let(F.struct(outer_computed.alias("m")),
+                             lambda s: with_computed(s["m"]))
+
+        return self._let(F.struct(outer_labels.alias("m")),
+                         lambda s: with_labels(s["m"]))
 
     # -- operators -------------------------------------------------------
     def _op(self, node: Op, vs, k) -> Column:

@@ -1,0 +1,407 @@
+"""Flat (whole-stage-codegen-friendly) condition compiler — the hot path.
+
+The tagged-struct compiler in ``columns.py`` is fully general but its
+lambda let-bindings disable whole-stage codegen, making every expression
+node interpreted (~700x slower on wide conditions).  This compiler emits
+*flat* boolean/double expressions with no structs and no higher-order
+functions for the dominant condition shapes:
+
+* label-vs-constant and label-vs-label comparisons,
+* logical compositions, $in/$nin with constant lists, $exists,
+* numeric arithmetic (computed in double — exact up to 2^53; the
+  planner falls back when a constant exceeds that),
+* date extraction, string operators, $cast, $ref with constant name,
+  $timestamp.
+
+Semantics notes (mirroring values.py):
+* a label's numeric interpretation ``num`` is a double Column that is
+  null iff the value is string-kind ("true"/"false" map to 1/0, so
+  cross-type bool==int==float comparisons collapse to double equality);
+* non-strict error policy only needs an error *flag* (errors -> record
+  excluded at top level, even under $not);  strict mode (which must
+  raise with messages) always uses the struct compiler.
+
+Anything not expressible raises ``Unsupported`` and the planner falls
+back to the struct compiler for the whole predicate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import values as V
+from .ast import ComputedRef, Const, LabelRef, Node, Op
+from .values import Value
+
+_INT_RE = r"^[+-]?[0-9]+$"
+_FLOAT_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+_NUM_RE = f"^(({_INT_RE[1:-1]})|({_FLOAT_RE[1:-1]}))$"
+_FLOAT_SPECIAL = ["inf", "+inf", "-inf", "infinity", "+infinity", "-infinity",
+                  "nan", "+nan", "-nan"]
+_EXACT_DOUBLE = 2 ** 53
+
+
+class Unsupported(Exception):
+    """AST shape outside the fast path — use the struct compiler."""
+
+
+@dataclass
+class FV:
+    """A compiled sub-expression.
+
+    Exactly one of ``const`` / runtime fields is used. Runtime values
+    carry: ``raw`` (original string, null = missing) for label leaves,
+    ``num`` (double; null = string-kind) for anything numeric-capable,
+    ``err`` (boolean error-so-far), and ``is_str`` (boolean: runtime
+    string kind) when raw is present."""
+    const: Optional[Value] = None
+    raw: Optional[Column] = None
+    num: Optional[Column] = None
+    err: Optional[Column] = None
+    numeric_only: bool = False  # derived arithmetic: always numeric
+
+
+_FALSE = None  # placeholder; use F.lit(False) at call sites
+
+
+def _err(fv: FV) -> Column:
+    return fv.err if fv.err is not None else F.lit(False)
+
+
+def _is_str(fv: FV) -> Column:
+    """Runtime string-kind test (None if statically known non-string)."""
+    if fv.const is not None:
+        return F.lit(fv.const.kind == V.STRING)
+    if fv.numeric_only:
+        return F.lit(False)
+    return fv.num.isNull() & fv.raw.isNotNull()
+
+
+def _num(fv: FV) -> Column:
+    if fv.const is not None:
+        if fv.const.kind == V.STRING:
+            raise Unsupported("string constant in numeric position")
+        return F.lit(V.as_float(fv.const))
+    if fv.num is None:
+        raise Unsupported("no numeric interpretation")
+    return fv.num
+
+
+def _truthy(fv: FV) -> Column:
+    if fv.const is not None:
+        return F.lit(V.as_bool(fv.const))
+    if fv.numeric_only:
+        return fv.num != 0.0
+    # string kind: non-empty; numeric/bool kind: != 0
+    return F.when(fv.num.isNotNull(), fv.num != 0.0).otherwise(F.length(fv.raw) != 0)
+
+
+def _display(fv: FV) -> Column:
+    """Rust Display of the dynamically-parsed value as a flat Column."""
+    if fv.const is not None:
+        return F.lit(V.to_display(fv.const))
+    if fv.numeric_only:
+        raise Unsupported("display of derived numeric")
+    raw, num = fv.raw, fv.num
+    int_like = raw.rlike(_INT_RE)
+    # float display canonicalization: "9.0" -> "9", "1e3" -> "1000"
+    f_int = (~F.isnan(num)) & (num == F.floor(num)) & (F.abs(num) < 1e16)
+    float_disp = F.when(f_int, num.cast("long").cast("string")).otherwise(
+        num.cast("string"))
+    return (
+        F.when(raw.isin("true", "false"), raw)
+        .when(int_like, raw)  # i64 display == raw digits (sign normalized below)
+        .when(num.isNotNull(), float_disp)
+        .otherwise(raw)
+    )
+
+
+class FlatCompiler:
+    def __init__(self, ts: Column, labels: Column,
+                 computed_labels: Optional[Column] = None):
+        self.ts = ts
+        self.labels = labels
+        self.computed = computed_labels
+
+    # -- public ----------------------------------------------------------
+    def predicate(self, node: Node) -> Column:
+        fv = self.compile(node)
+        return F.coalesce(_truthy(fv) & ~_err(fv), F.lit(False))
+
+    # -- leaves ----------------------------------------------------------
+    def _label(self, raw: Column) -> FV:
+        is_bool = raw.isin("true", "false")
+        numeric = raw.rlike(_NUM_RE) | F.lower(raw).isin(*_FLOAT_SPECIAL)
+        num = (
+            F.when(is_bool, (raw == "true").cast("double"))
+            .when(numeric, raw.try_cast("double"))
+        )
+        return FV(raw=raw, num=num, err=raw.isNull())
+
+    def compile(self, node: Node) -> FV:
+        if isinstance(node, Const):
+            return FV(const=node.value)
+        if isinstance(node, LabelRef):
+            return self._label(F.element_at(self.labels, F.lit(node.name)))
+        if isinstance(node, ComputedRef):
+            if self.computed is None:
+                return FV(const=None, raw=F.lit(None).cast("string"),
+                          num=F.lit(None).cast("double"), err=F.lit(True))
+            return self._label(F.element_at(self.computed, F.lit(node.name)))
+        assert isinstance(node, Op)
+        return self._op(node)
+
+    # -- operators -------------------------------------------------------
+    def _op(self, node: Op) -> FV:
+        name = node.name
+        if name in ("$and", "$or", "$not"):
+            return self._logical(name, [self.compile(o) for o in node.operands])
+        if name == "$xor":
+            ops = [self.compile(o) for o in node.operands]
+            total = F.lit(0)
+            for x in ops:
+                total = total + _truthy(x).cast("int")
+            err = F.lit(False)
+            for x in ops:
+                err = err | _err(x)
+            return FV(num=(total == 1).cast("double"), err=err, numeric_only=True)
+        if name in ("$eq", "$ne"):
+            a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
+            eq, err = self._eq(a, b)
+            val = eq if name == "$eq" else ~eq
+            return FV(num=val.cast("double"), err=err, numeric_only=True)
+        if name in ("$gt", "$gte", "$lt", "$lte"):
+            a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
+            return self._ordering(name, a, b)
+        if name in ("$in", "$nin"):
+            return self._in(name, node)
+        if name in ("$add", "$sub", "$mult", "$div", "$div_num", "$rem"):
+            a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
+            return self._arith(name, a, b)
+        if name == "$abs":
+            a = self.compile(node.operands[0])
+            return FV(num=F.abs(_num_rt(a)), err=_arith_err(a), numeric_only=True)
+        if name in ("$contains", "$starts_with", "$ends_with"):
+            a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
+            da, db = _display(a), _display(b)
+            val = {"$contains": da.contains(db),
+                   "$starts_with": da.startswith(db),
+                   "$ends_with": da.endswith(db)}[name]
+            return FV(num=val.cast("double"), err=_err(a) | _err(b), numeric_only=True)
+        if name in ("$second", "$minute", "$hour", "$day", "$month", "$year",
+                    "$weekday"):
+            return self._date(name, node)
+        if name == "$exists":
+            val = F.lit(True)
+            err = F.lit(False)
+            for o in node.operands:
+                fv = self.compile(o)
+                err = err | _err(fv)
+                val = val & F.coalesce(
+                    F.map_contains_key(self.labels, _display(fv)), F.lit(False))
+            return FV(num=val.cast("double"), err=err, numeric_only=True)
+        if name == "$cast":
+            return self._cast(node)
+        if name == "$ref":
+            o = node.operands[0]
+            fv = self.compile(o)
+            name_col = _display(fv)
+            lbl = self._label(F.element_at(self.labels, name_col))
+            lbl.err = lbl.err | _err(fv)
+            return lbl
+        if name == "$timestamp":
+            return FV(num=self.ts.cast("double"), err=F.lit(False), numeric_only=True)
+        raise Unsupported(name)
+
+    def _logical(self, name: str, ops: List[FV]) -> FV:
+        """Short-circuit error fold: an operand's error counts only if no
+        earlier operand decided the result (all_of.rs/any_of.rs)."""
+        if not ops:
+            base = name in ("$and", "$not")
+            return FV(const=V.vbool(base))
+        conj = name == "$and"
+        val = F.lit(conj)
+        err = F.lit(False)
+        for x in ops:
+            active = (val if conj else ~val) & ~err
+            err = err | (active & _err(x))
+            step = _truthy(x) & ~_err(x)
+            val = F.when(active & ~_err(x), step).otherwise(val)
+        out = val if name in ("$and", "$or") else ~val
+        return FV(num=out.cast("double"), err=err, numeric_only=True)
+
+    def _eq(self, a: FV, b: FV):
+        err = _err(a) | _err(b)
+        if a.const is not None and b.const is not None:
+            return F.lit(V.val_eq(a.const, b.const)), err
+        if b.const is not None:
+            a, b = b, a
+        if a.const is not None:  # const vs runtime
+            c = a.const
+            if c.kind == V.STRING:
+                if V.parse_str_value(c.val).kind != V.STRING:
+                    # a numeric-looking string constant never equals a label
+                    # (the label would parse numeric -> cross-kind)
+                    return F.lit(False), err
+                if b.numeric_only:
+                    return F.lit(False), err
+                return F.coalesce(_is_str(b) & (b.raw == c.val), F.lit(False)), err
+            # numeric constant
+            cval = V.as_float(c)
+            if abs(cval) >= _EXACT_DOUBLE:
+                raise Unsupported("constant beyond double precision")
+            return F.coalesce(_num_or_null(b) == F.lit(cval), F.lit(False)), err
+        # runtime vs runtime
+        na, nb = _num_or_null(a), _num_or_null(b)
+        both_num = na.isNotNull() & nb.isNotNull()
+        if a.numeric_only or b.numeric_only:
+            return F.coalesce(F.when(both_num, na == nb), F.lit(False)), err
+        both_str = _is_str(a) & _is_str(b)
+        val = (F.when(both_str, a.raw == b.raw)
+               .when(both_num, na == nb)
+               .otherwise(F.lit(False)))
+        return F.coalesce(val, F.lit(False)), err
+
+    def _ordering(self, name: str, a: FV, b: FV) -> FV:
+        base_err = _err(a) | _err(b)
+        op = {"$gt": Column.__gt__, "$gte": Column.__ge__,
+              "$lt": Column.__lt__, "$lte": Column.__le__}[name]
+        if a.const is not None and b.const is not None:
+            try:
+                c = V.val_cmp(a.const, b.const)
+            except V.CondError:
+                return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+            res = {"$gt": c > 0, "$gte": c >= 0, "$lt": c < 0, "$lte": c <= 0}[name]
+            return FV(num=F.lit(res).cast("double"), err=base_err, numeric_only=True)
+
+        sa, sb = _is_str(a), _is_str(b)
+        mixed = sa != sb  # string vs non-string: unordered -> error
+        err = base_err | F.coalesce(mixed, F.lit(False))
+        na, nb = _num_or_null(a), _num_or_null(b)
+        num_cmp = op(na, nb)
+        if (a.const is not None and a.const.kind == V.STRING) or \
+           (b.const is not None and b.const.kind == V.STRING):
+            stra = a.raw if a.const is None else F.lit(a.const.val)
+            strb = b.raw if b.const is None else F.lit(b.const.val)
+            val = F.when(sa & sb, op(stra, strb)).when(~mixed, num_cmp)
+        elif a.numeric_only or b.numeric_only or \
+                (a.const is not None or b.const is not None):
+            val = F.when(~F.coalesce(mixed, F.lit(False)), num_cmp)
+        else:
+            val = F.when(sa & sb, op(a.raw, b.raw)).when(~mixed, num_cmp)
+        # NaN: reference partial_cmp -> error
+        nan = F.lit(False)
+        for x, n in ((a, na), (b, nb)):
+            if x.const is None:
+                nan = nan | F.coalesce(F.isnan(n), F.lit(False))
+        return FV(num=F.coalesce(val & ~nan, F.lit(False)).cast("double"),
+                  err=err | nan, numeric_only=True)
+
+    def _in(self, name: str, node: Op) -> FV:
+        head = self.compile(node.operands[0])
+        hit = F.lit(False)
+        err = _err(head)
+        for o in node.operands[1:]:
+            item = self.compile(o)
+            eq, e2 = self._eq(head, item)
+            err = err | (~hit & e2)  # errors in items scanned before a match
+            hit = hit | eq
+        val = hit if name == "$in" else ~hit
+        return FV(num=val.cast("double"), err=err, numeric_only=True)
+
+    def _arith(self, name: str, a: FV, b: FV) -> FV:
+        if a.const is not None and b.const is not None:
+            fn = {"$add": V.val_add, "$sub": V.val_sub, "$mult": V.val_mult,
+                  "$div": V.val_div, "$div_num": V.val_div_num,
+                  "$rem": V.val_rem}[name]
+            try:
+                return FV(const=fn(a.const, b.const))
+            except V.CondError:
+                return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+        for x in (a, b):
+            if x.const is not None and x.const.kind == V.STRING:
+                raise Unsupported("string constant in arithmetic")
+        na, nb = _num_rt(a), _num_rt(b)
+        err = _arith_err(a) | _arith_err(b)
+        if name == "$add":
+            num = na + nb
+        elif name == "$sub":
+            num = na - nb
+        elif name == "$mult":
+            num = na * nb
+        elif name == "$div":
+            err = err | (nb == 0.0)
+            num = na / nb
+        elif name == "$div_num":
+            # as_int truncation then i64 trunc division
+            ta, tb = _trunc(na), _trunc(nb)
+            err = err | (tb == 0.0)
+            num = _trunc(ta / tb)
+        else:  # $rem — fmod keeps the dividend's sign, like Rust %
+            err = err | ((nb == 0.0) & (na == _trunc(na)) & (nb == _trunc(nb)))
+            num = na % nb
+        return FV(num=num, err=err, numeric_only=True)
+
+    def _date(self, name: str, node: Op) -> FV:
+        tsv = self.compile(node.operands[0])
+        err = _arith_err(tsv)
+        instant = F.timestamp_micros(_trunc(_num_rt(tsv)).cast("long"))
+        if len(node.operands) == 2:
+            tz = node.operands[1]
+            if not (isinstance(tz, Const) and tz.value.kind == V.STRING):
+                raise Unsupported("dynamic timezone")
+            local = F.from_utc_timestamp(instant, tz.value.val)
+        else:
+            local = instant
+        fld = {"$second": F.second, "$minute": F.minute, "$hour": F.hour,
+               "$day": F.dayofmonth, "$month": F.month, "$year": F.year}.get(name)
+        col = fld(local) if fld else (F.dayofweek(local) + 5) % 7
+        return FV(num=col.cast("double"), err=err, numeric_only=True)
+
+    def _cast(self, node: Op) -> FV:
+        tnode = node.operands[1]
+        if not (isinstance(tnode, Const) and tnode.value.kind == V.STRING):
+            raise Unsupported("dynamic cast target")
+        target = tnode.value.val
+        a = self.compile(node.operands[0])
+        if target == "bool":
+            return FV(num=_truthy(a).cast("double"), err=_err(a), numeric_only=True)
+        if target in ("int", "duration"):
+            return FV(num=_trunc(_num_rt(a)), err=_arith_err(a), numeric_only=True)
+        if target == "float":
+            return FV(num=_num_rt(a), err=_arith_err(a), numeric_only=True)
+        if target == "string":
+            raise Unsupported("cast to string")  # changes kind to STRING
+        return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+
+
+def _num_or_null(fv: FV) -> Column:
+    if fv.const is not None:
+        if fv.const.kind == V.STRING:
+            return F.lit(None).cast("double")
+        return F.lit(V.as_float(fv.const))
+    return fv.num
+
+
+def _num_rt(fv: FV) -> Column:
+    """Numeric value in arithmetic position; string-kind becomes an error
+    handled by _arith_err (value surfaces as null)."""
+    return _num_or_null(fv)
+
+
+def _arith_err(fv: FV) -> Column:
+    """Error if the operand errored or is string-kind (can't do math)."""
+    if fv.const is not None:
+        return F.lit(fv.const.kind == V.STRING)
+    if fv.numeric_only:
+        return _err(fv)
+    return _err(fv) | fv.num.isNull()
+
+
+def _trunc(c: Column) -> Column:
+    """Truncate toward zero (Rust `as i64` on the value range we support)."""
+    return F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)).cast("double")

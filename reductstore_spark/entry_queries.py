@@ -1,0 +1,710 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle SQL
+for every operator in SURVEY.md §2 plus the analytics / LLM-pipeline scope.
+
+Each entry is ``name -> (spark_fn, oracle_sql | None)``; ``spark_fn``
+takes (spark, sf_dir) and returns a DataFrame whose column names/types
+match the oracle (the driver hash-compares values with columns sorted by
+name).  Oracle SQL runs on DuckDB views named after the parquet tables.
+
+Conventions for hash-stable outputs:
+* ids/counts as BIGINT, names as STRING
+* monetary aggregates computed in DECIMAL then CAST to DOUBLE (exact and
+  associative — safe under any aggregation order)
+* similarity scores ROUND()ed to 6 decimals
+* timestamps always as epoch-µs BIGINT, never timestamp columns
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .query import QueryEngine
+from .schema import events_as_records
+
+# absolute µs bounds used by the range queries (2024-01-05 .. 2024-01-12)
+T0 = 1_704_412_800_000_000
+T1 = 1_705_017_600_000_000
+
+_QE = QueryEngine()
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Ensure engine-required runtime confs on any session (the driver may
+    hand us a default-config session: ANSI on, local timezone, no nanos)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_records(prep(spark), sf_dir)
+
+
+def _entry_ts(df: DataFrame) -> DataFrame:
+    return df.select("entry", "ts")
+
+
+# ---------------------------------------------------------------------------
+# A. reference query surface over the records model (events)
+# ---------------------------------------------------------------------------
+
+def q_scan_time_range(spark, sf_dir):
+    """Time-range scan, start inclusive / stop exclusive
+    (filters/time_range.rs:8-40)."""
+    return _entry_ts(_QE.query(_records(spark, sf_dir), start=T0, stop=T1, ordered=False))
+
+
+SQL_SCAN_TIME_RANGE = f"""
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE epoch_us(ts) >= {T0} AND epoch_us(ts) < {T1}
+"""
+
+
+def q_when_cmp(spark, sf_dir):
+    """Dynamic float parse + $gt (value.rs:51-61, cmp.rs)."""
+    return _entry_ts(_QE.query(_records(spark, sf_dir),
+                               when={"&value": {"$gt": 100}}, ordered=False))
+
+
+SQL_WHEN_CMP = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 100"
+
+
+def q_when_logic(spark, sf_dir):
+    """$or / $and / $not composition (operators/logical)."""
+    when = {"$and": [
+        {"$or": [{"&value": {"$gt": 150}}, {"&k": {"$lt": 10}}]},
+        {"$not": [{"&user": {"$eq": 3}}]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_LOGIC = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE (value > 150 OR CAST(json_extract_string(props, '$.k') AS BIGINT) < 10)
+  AND NOT (user_id = 3)
+"""
+
+
+def q_when_arith(spark, sf_dir):
+    """$add/$mult/$div with int/float promotion (value/arithmetic)."""
+    when = {"$and": [
+        {"$gt": [{"$add": ["&value", "&k"]}, 150]},
+        {"$lte": [{"$div": ["&value", 2]}, 90]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_ARITH = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE value + CAST(json_extract_string(props, '$.k') AS BIGINT) > 150
+  AND value / 2 <= 90
+"""
+
+
+def q_when_rem_divnum(spark, sf_dir):
+    """$rem (sign of dividend) and $div_num (trunc toward zero)."""
+    when = {"$and": [
+        {"$eq": [{"$rem": ["&k", 7]}, 3]},
+        {"$gte": [{"$div_num": ["&k", 10]}, 5]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_REM_DIVNUM = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 3
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 >= 5
+"""
+
+
+def q_when_string(spark, sf_dir):
+    """$contains / $starts_with / $ends_with over label display strings."""
+    when = {"$or": [
+        {"$contains": ["&k", "7"]},
+        {"$starts_with": ["&k", "2"]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_STRING = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE contains(json_extract_string(props, '$.k'), '7')
+   OR starts_with(json_extract_string(props, '$.k'), '2')
+"""
+
+
+def q_when_date(spark, sf_dir):
+    """$hour/$weekday on µs timestamps, UTC (operators/date)."""
+    when = {"$and": [
+        {"$gte": [{"$hour": ["$timestamp"]}, 12]},
+        {"$lte": [{"$weekday": ["$timestamp"]}, 4]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_DATE = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE hour(ts::TIMESTAMP) >= 12 AND isodow(ts::TIMESTAMP) - 1 <= 4
+"""
+
+
+def q_when_date_tz(spark, sf_dir):
+    """Timezone-aware date extraction ($hour[ts, 'Europe/Berlin'])."""
+    when = {"$eq": [{"$hour": ["$timestamp", "Europe/Berlin"]}, 14]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_DATE_TZ = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE hour(timezone('Europe/Berlin', timezone('UTC', ts::TIMESTAMP))) = 14
+"""
+
+
+def q_when_in(spark, sf_dir):
+    """$in / $nin membership with reference eq semantics."""
+    when = {"$and": [
+        {"$in": ["&user", 1, 2, 3, 5, 8]},
+        {"$nin": ["&k", 0, 99]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_IN = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE user_id IN (1, 2, 3, 5, 8)
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) NOT IN (0, 99)
+"""
+
+
+def q_when_exists(spark, sf_dir):
+    """$exists on a sparse label ('big' is set only when value > 100)."""
+    return _entry_ts(_QE.query(_records(spark, sf_dir),
+                               when={"$exists": ["big"]}, ordered=False))
+
+
+SQL_WHEN_EXISTS = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 100"
+
+
+def q_when_cast_ref(spark, sf_dir):
+    """$cast + $ref (dynamic label name)."""
+    when = {"$and": [
+        {"$gt": [{"$cast": ["&k", "float"]}, 50.0]},
+        {"$lt": [{"$ref": ["user"]}, 10]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_WHEN_CAST_REF = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0 AND user_id < 10
+"""
+
+
+def q_each_n(spark, sf_dir):
+    """$each_n decimation composed after a predicate — counter increments
+    only for records where the preceding conjunct is truthy
+    (each_n.rs:33-49 + AllOf short-circuit)."""
+    when = {"$and": [{"&value": {"$gt": 50}}, {"$each_n": 3}]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_EACH_N = """
+SELECT entry, ts FROM (
+  SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 50
+) QUALIFY row_number() OVER (PARTITION BY entry ORDER BY ts) % 3 = 0
+"""
+
+
+def q_limit(spark, sf_dir):
+    """$limit: first N matches per entry scan, then Interrupt
+    (limit.rs:31-40)."""
+    when = {"$and": [{"&value": {"$gt": 20}}, {"$limit": 100}]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_LIMIT = """
+SELECT entry, ts FROM (
+  SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 20
+) QUALIFY row_number() OVER (PARTITION BY entry ORDER BY ts) <= 100
+"""
+
+
+def q_ctx_padding(spark, sf_dir):
+    """#ctx_before/#ctx_after record-count padding around matches
+    (filters/when/ctx_before.rs, ctx_after.rs)."""
+    when = {"#ctx_before": 2, "#ctx_after": 1, "&value": {"$gt": 195}}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+
+
+SQL_CTX_PADDING = """
+SELECT entry, ts FROM (
+  SELECT event_type AS entry, epoch_us(ts) AS ts,
+         CASE WHEN value > 195 THEN 1 ELSE 0 END AS m
+  FROM events
+) QUALIFY max(m) OVER (PARTITION BY entry ORDER BY ts
+                       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) = 1
+       OR max(m) OVER (PARTITION BY entry ORDER BY ts
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 1
+"""
+
+
+def q_multi_entry(spark, sf_dir):
+    """Multi-entry query with glob include/exclude + k-way merge order
+    (bucket/query.rs:96-154, 272-282)."""
+    df = _QE.query(_records(spark, sf_dir), entries=["c*", "err*", "!clique"],
+                   when={"&value": {"$lte": 20}})
+    return df.select("entry", "ts")
+
+
+SQL_MULTI_ENTRY = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE event_type IN ('click', 'error') AND value <= 20
+"""
+
+
+def q_select_labels(spark, sf_dir):
+    """#select_labels projection: only requested labels survive."""
+    when = {"#select_labels": ["user"], "&value": {"$gt": 180}}
+    df = _QE.query(_records(spark, sf_dir), when=when, ordered=False)
+    return df.select(
+        "entry", "ts",
+        F.element_at("labels", "user").cast("long").alias("l_user"),
+        F.size("labels").alias("n_labels"),
+    )
+
+
+SQL_SELECT_LABELS = """
+SELECT event_type AS entry, epoch_us(ts) AS ts, user_id AS l_user,
+       1 AS n_labels
+FROM events WHERE value > 180
+"""
+
+
+def q_count(spark, sf_dir):
+    """Count query (query_count_records, remove_records.rs:163-216)."""
+    spark_df = _records(spark, sf_dir)
+    n = _QE.count(spark_df, when={"&value": {"$gt": 100}})
+    return spark.createDataFrame([(n,)], "matched bigint")
+
+
+SQL_COUNT = "SELECT count(*) AS matched FROM events WHERE value > 100"
+
+
+def q_remove_count(spark, sf_dir):
+    """Remove-query sizing: how many records {"$each_n": 2} deletes
+    (the reference's benchmark remove workload)."""
+    spark_df = _records(spark, sf_dir)
+    n = _QE.count(spark_df, when={"$and": [{"$each_n": 2}]})
+    return spark.createDataFrame([(n,)], "would_remove bigint")
+
+
+SQL_REMOVE_COUNT = """
+SELECT count(*) AS would_remove FROM (
+  SELECT 1 FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) % 2 = 0
+)
+"""
+
+
+def q_update_labels(spark, sf_dir):
+    """Label-update merge semantics (update_labels.rs:14-160): upsert a
+    computed tier label, remove 'k', report the merged state."""
+    rec = _QE.query(_records(spark, sf_dir), when={"&value": {"$gt": 190}},
+                    ordered=False)
+    upsert = F.create_map(
+        F.lit("tier"),
+        F.when(F.element_at("labels", "value").cast("double") > 195, F.lit("high"))
+        .otherwise(F.lit("mid")),
+    )
+    merged = F.map_filter(
+        F.map_concat(
+            F.map_filter("labels", lambda k, v: k != F.lit("tier")),
+            upsert,
+        ),
+        lambda k, v: k != F.lit("k"),
+    )
+    return rec.select(
+        "entry", "ts",
+        F.element_at(merged, "tier").alias("tier"),
+        F.size(merged).alias("n_labels"),
+    )
+
+
+SQL_UPDATE_LABELS = """
+SELECT event_type AS entry, epoch_us(ts) AS ts,
+       CASE WHEN value > 195 THEN 'high' ELSE 'mid' END AS tier,
+       -- labels were {user, value, k} (+big when value>100) -> remove k, add tier
+       CAST(CASE WHEN value > 100 THEN 4 ELSE 3 END AS INT) AS n_labels
+FROM events WHERE value > 190
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. DataFrame analytics over the TPC-H-ish corpus (driver-added scope)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing(spark, sf_dir):
+    """Q1-style pricing summary; decimal aggregation for hash-exactness."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
+             .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+      AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_topn(spark, sf_dir):
+    """Q3-style: 3-way join, revenue per order, deterministic top 10."""
+    prep(spark)
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (
+        cu.where(F.col("c_mktsegment") == "BUILDING")
+        .join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
+              .cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (rev.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10).select("o_orderkey", "revenue", "rnk"))
+
+
+SQL_JOIN_TOPN = """
+SELECT o_orderkey, revenue, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_orderkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+        AS revenue,
+    row_number() OVER (ORDER BY CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) DESC,
+        o_orderkey) AS rnk
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+    AND o_orderdate < TIMESTAMP '1998-03-15' AND l_orderkey = o_orderkey
+  GROUP BY o_orderkey
+) WHERE rnk <= 10
+"""
+
+
+def q_join_region(spark, sf_dir):
+    """Q5-style: 5-way star join, revenue per nation; small dims broadcast."""
+    prep(spark)
+    re = _t(spark, sf_dir, "region")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
+              .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_JOIN_REGION = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+      AS revenue,
+  count(*) AS n_items
+FROM lineitem, orders, customer, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Window ranking: top 3 orders by totalprice per priority."""
+    prep(spark)
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        od.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("total"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. LLM-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: groups with >1 copy, keeper = min id."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("copies"),
+             F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS copies, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish word/number/punct units."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bpe_re = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), F.lit(0))).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length, word stats, stopword ratio, alpha ratio."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(words)
+    n_sw = F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w))))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(n_sw.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(n_alpha.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id, length(text) AS n_chars,
+  len(string_split_regex(trim(text), '\s+')) AS n_words,
+  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+      w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(w))))
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text (lower, collapsed
+    whitespace) + sha256 over raw bytes."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID heuristic: function-word voting per language."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    langs = {
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "la", "de", "que", "y"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "les", "et", "est"],
+    }
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scores = []
+    for lang, sws in langs.items():
+        arr = F.array(*[F.lit(s) for s in sws])
+        scores.append(
+            F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias(f"s_{lang}"))
+    scored = docs.select("doc_id", "lang", *scores)
+    # deterministic argmax: highest score, ties broken by declaration order
+    s = lambda l: F.col(f"s_{l}")
+    pred = (
+        F.when((s("en") >= s("es")) & (s("en") >= s("de")) & (s("en") >= s("fr")), "en")
+        .when((s("es") >= s("de")) & (s("es") >= s("fr")), "es")
+        .when(s("de") >= s("fr"), "de")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", F.col("lang").alias("actual_lang"),
+                         pred.alias("predicted_lang"))
+
+
+SQL_LANG_ID = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> list_contains(['the','and','of','to','is'], w))) AS s_en,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> list_contains(['el','la','de','que','y'], w))) AS s_es,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> list_contains(['der','die','und','das','ist'], w))) AS s_de,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> list_contains(['le','la','les','et','est'], w))) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang AS actual_lang,
+  CASE
+    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+    WHEN s_de >= s_fr THEN 'de'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM scored
+"""
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a query vector (vec_id = 0).
+
+    The scale path (IVF/LSH bucketing) builds on the same kernel; this is
+    the exactness baseline. Scores rounded to 6 decimals for stability."""
+    prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    scored = joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10)
+            .select("vec_id", "label", "cosine", F.col("rnk").cast("int").alias("rnk")))
+
+
+SQL_SIM_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+  FROM embeddings e, q WHERE vec_id != 0
+)
+SELECT vec_id, label, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM scored
+) WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    # A: reference surface
+    "scan_time_range": (q_scan_time_range, SQL_SCAN_TIME_RANGE),
+    "when_cmp": (q_when_cmp, SQL_WHEN_CMP),
+    "when_logic": (q_when_logic, SQL_WHEN_LOGIC),
+    "when_arith": (q_when_arith, SQL_WHEN_ARITH),
+    "when_rem_divnum": (q_when_rem_divnum, SQL_WHEN_REM_DIVNUM),
+    "when_string": (q_when_string, SQL_WHEN_STRING),
+    "when_date": (q_when_date, SQL_WHEN_DATE),
+    "when_date_tz": (q_when_date_tz, SQL_WHEN_DATE_TZ),
+    "when_in": (q_when_in, SQL_WHEN_IN),
+    "when_exists": (q_when_exists, SQL_WHEN_EXISTS),
+    "when_cast_ref": (q_when_cast_ref, SQL_WHEN_CAST_REF),
+    "each_n": (q_each_n, SQL_EACH_N),
+    "limit": (q_limit, SQL_LIMIT),
+    "ctx_padding": (q_ctx_padding, SQL_CTX_PADDING),
+    "multi_entry": (q_multi_entry, SQL_MULTI_ENTRY),
+    "select_labels": (q_select_labels, SQL_SELECT_LABELS),
+    "count": (q_count, SQL_COUNT),
+    "remove_count": (q_remove_count, SQL_REMOVE_COUNT),
+    "update_labels": (q_update_labels, SQL_UPDATE_LABELS),
+    # B: analytics
+    "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
+    "join_topn": (q_join_topn, SQL_JOIN_TOPN),
+    "join_region": (q_join_region, SQL_JOIN_REGION),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    # C: LLM pipeline
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+}

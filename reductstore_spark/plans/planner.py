@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..condition import values as V
 from ..condition.ast import Const, Node, Op, is_stateful
 from ..condition.columns import ColumnCompiler, compile_predicate
+from ..condition.fastcols import FlatCompiler, Unsupported
 from ..condition.parser import parse_when
 from ..condition.values import CondError, Value
 from ..operators.stateful import apply_when_stateful
@@ -72,6 +73,14 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
 
 def _predicate(df: DataFrame, node: Node, strict: bool):
     computed = "computed_labels" if "computed_labels" in df.columns else None
+    if not strict:
+        # flat codegen-able compiler for the common shapes (~100x faster);
+        # strict mode needs error messages -> struct compiler only
+        try:
+            comp = F.col(computed) if computed else None
+            return FlatCompiler(F.col("ts"), F.col("labels"), comp).predicate(node)
+        except Unsupported:
+            pass
     return compile_predicate(node, strict=strict, computed_col=computed)
 
 

@@ -95,6 +95,34 @@ def test_equivalence_matrix(spark):
     assert not mismatches, mismatches
 
 
+def test_flat_compiler_equivalence(spark):
+    from reductstore_spark.condition.fastcols import FlatCompiler, Unsupported
+
+    df = spark.createDataFrame(
+        ROWS, "ts long, labels map<string,string>"
+    ).coalesce(1)
+    cols, parsed, covered = [], [], []
+    for i, cond in enumerate(CONDS):
+        node, _ = parse_when(json.loads(cond))
+        try:
+            pred = FlatCompiler(F.col("ts"), F.col("labels")).predicate(node)
+        except Unsupported:
+            continue
+        covered.append(cond)
+        parsed.append(node)
+        cols.append(pred.alias(f"c{len(cols)}"))
+    # the fast path must cover the overwhelming majority of shapes
+    assert len(covered) >= len(CONDS) * 2 // 3, covered
+    res = df.select(*cols).collect()
+    mismatches = []
+    for i, cond in enumerate(covered):
+        got = [r[i] for r in res]
+        want = interp_expected(parsed[i])
+        if got != want:
+            mismatches.append((cond, got, want))
+    assert not mismatches, mismatches
+
+
 def test_strict_mode_raises_jvm_side(spark):
     df = spark.createDataFrame(ROWS, "ts long, labels map<string,string>")
     node, _ = parse_when({"&nope": {"$gt": 1}})

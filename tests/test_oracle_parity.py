@@ -1,0 +1,82 @@
+"""Driver-style oracle parity: run every queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet, compare row count, schema
+shape, and order-insensitive values with columns sorted by name — the
+same gate CORRECTNESS_r{N}.json applies.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # compare doubles by exact repr — decimal-backed aggregates and
+        # rounded scores must match bit-for-bit
+        return repr(v)
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check for non-SQL ops
+        return
+    res = ddb.sql(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sc, sv = canon(scols, srows)
+    dc, dv = canon(dcols, drows)
+    mism = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} value mismatches; first: "
+        f"spark={sv[mism[0]]} duckdb={dv[mism[0]]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["entry", "ts", "labels"]
