@@ -60,6 +60,28 @@ class Evaluator:
         else:
             self.children = []
 
+    # -- state (for streaming checkpoints) -------------------------------
+    def get_state(self) -> list:
+        """Collect mutable operator state in DFS order (for
+        applyInPandasWithState across micro-batches)."""
+        out = []
+        if isinstance(self.node, Op):
+            out.append((self._count, self._last_ts, self._gate_deadline,
+                        self._prev_input, self._reset_required))
+            for c in self.children:
+                out.extend(c.get_state())
+        return out
+
+    def set_state(self, state: list) -> None:
+        self._restore(iter(state))
+
+    def _restore(self, it) -> None:
+        if isinstance(self.node, Op):
+            (self._count, self._last_ts, self._gate_deadline,
+             self._prev_input, self._reset_required) = next(it)
+            for c in self.children:
+                c._restore(it)
+
     # -- public ----------------------------------------------------------
     def apply(self, ctx: Context) -> Value:
         node = self.node

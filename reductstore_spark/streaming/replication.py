@@ -1,0 +1,76 @@
+"""Replication: a standing filter on the write stream.
+
+Mirrors the reference's TransactionFilter semantics (reference:
+reductstore/src/replication/transaction_filter.rs:18-140, settings
+reduct_base/src/msg/replication_api.rs:40-65):
+
+* ``entries``: glob include/exclude patterns (empty = everything),
+* ``when``: condition over labels — evaluated in strict mode inside the
+  reference, but a failing condition only skips the record (errors are
+  logged, not fatal) -> non-strict Column predicate here,
+* ``dst_prefix``: prepended to destination entry names,
+* ``dst_bucket``: destination rename,
+* system ``$meta`` entries are never replicated.
+
+Spark-native: Structured Streaming over the source store, filter +
+rename transforms, ``foreachBatch`` appending into the destination
+RecordStore (which handles upsert-by-timestamp).  The transaction log /
+retry machinery of the reference maps to the stream's checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..condition.parser import parse_when
+from ..plans.planner import _predicate
+from ..sources.store import RecordStore
+from .continuous import continuous_query
+
+
+@dataclass
+class ReplicationSettings:
+    src_bucket: str
+    dst_bucket: str
+    entries: List[str] = field(default_factory=list)
+    dst_prefix: str = ""
+    when: Optional[dict] = None
+
+
+def replication_stream(spark: SparkSession, src_root: str,
+                       settings: ReplicationSettings) -> DataFrame:
+    """The filtered/renamed stream of records to replicate."""
+    df = continuous_query(
+        spark, src_root,
+        entries=settings.entries if settings.entries else None,
+        when=settings.when,
+    )
+    df = df.where(F.col("bucket") == settings.src_bucket)
+    return df.withColumn(
+        "bucket", F.lit(settings.dst_bucket)
+    ).withColumn(
+        "entry", F.concat(F.lit(settings.dst_prefix), F.col("entry"))
+    )
+
+
+def start_replication(spark: SparkSession, src_root: str, dst_root: str,
+                      settings: ReplicationSettings, checkpoint: str,
+                      available_now: bool = False):
+    """Run the replication pipeline; returns the StreamingQuery."""
+    dst = RecordStore(spark, dst_root)
+    stream = replication_stream(spark, src_root, settings)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dst.write(batch_df)
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

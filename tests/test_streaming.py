@@ -1,0 +1,122 @@
+"""Streaming: continuous queries, replication, stateful stream operators.
+
+Strategy: write batches into a RecordStore, run the stream with
+Trigger.AvailableNow into a memory sink, append more data, run again —
+verifying restart-from-checkpoint picks up only new records (the
+reference's continuous-query restart-from-last_ts+1, continuous.rs:16-84).
+"""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from reductstore_spark.condition.interpreter import Context, Evaluator
+from reductstore_spark.condition.parser import parse_when
+from reductstore_spark.sources.store import RecordStore
+from reductstore_spark.streaming.continuous import continuous_query
+from reductstore_spark.streaming.replication import (
+    ReplicationSettings,
+    replication_stream,
+    start_replication,
+)
+from reductstore_spark.streaming.stateful import stateful_stream
+
+SCHEMA = ("bucket string, entry string, ts long, payload binary, "
+          "content_type string, state int, labels map<string,string>, "
+          "computed_labels map<string,string>")
+
+
+def mk_rows(entry, n, base=0):
+    return [("b1", entry, base + i * 1_000_000, None, "", 1,
+             {"v": str(i + base // 1_000_000)}, {}) for i in range(n)]
+
+
+def drain(spark, stream_df, out_dir, checkpoint):
+    """Drain available data to a parquet sink (checkpoint-recoverable,
+    unlike the memory sink); returns the ts values written this run."""
+    import os
+    before = set()
+    if os.path.exists(out_dir):
+        before = {r["ts"] for r in spark.read.parquet(out_dir).select("ts").collect()}
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    after = {r["ts"] for r in spark.read.parquet(out_dir).select("ts").collect()}
+    return after - before
+
+
+def test_continuous_query_restarts_from_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    store = RecordStore(spark, root)
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+
+    out = str(tmp_path / "out")
+    stream = continuous_query(spark, root, when={"&v": {"$gte": 2}})
+    got1 = drain(spark, stream, out, cp)
+    assert got1 == {2_000_000, 3_000_000, 4_000_000}
+
+    # append new data; a new AvailableNow run over the same checkpoint
+    # must process ONLY the new files (restart semantics)
+    store.write(spark.createDataFrame(mk_rows("e1", 3, base=10_000_000), SCHEMA))
+    stream2 = continuous_query(spark, root, when={"&v": {"$gte": 2}})
+    got2 = drain(spark, stream2, out, cp)
+    assert got2 == {10_000_000, 11_000_000, 12_000_000}  # v=10,11,12 all >= 2
+
+
+def test_replication_entry_glob_prefix_and_when(spark, tmp_path):
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    cp = str(tmp_path / "cp")
+    src = RecordStore(spark, src_root)
+    rows = (mk_rows("cam1/front", 4) + mk_rows("cam2/front", 4)
+            + mk_rows("logs", 4))
+    src.write(spark.createDataFrame(rows, SCHEMA))
+
+    settings = ReplicationSettings(
+        src_bucket="b1", dst_bucket="replica",
+        entries=["cam*", "!cam2/**"], dst_prefix="mirror/",
+        when={"&v": {"$gte": 1}},
+    )
+    q = start_replication(spark, src_root, dst_root, settings, cp,
+                          available_now=True)
+    q.awaitTermination(120)
+
+    dst = RecordStore(spark, dst_root).read()
+    rows = dst.select("bucket", "entry", "ts").collect()
+    assert {r["bucket"] for r in rows} == {"replica"}
+    assert {r["entry"] for r in rows} == {"mirror/cam1/front"}
+    assert {r["ts"] for r in rows} == {1_000_000, 2_000_000, 3_000_000}
+
+
+def test_stateful_stream_each_t_across_batches(spark, tmp_path):
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    store = RecordStore(spark, root)
+    # 0s, 1s, 2s, 3s, 4s — $each_t 2.5s: first primes (False), emits at
+    # >= 2.5s elapsed
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+
+    out = str(tmp_path / "out")
+    when = {"$each_t": 2.5}
+    stream = stateful_stream(continuous_query(spark, root), when)
+    got1 = sorted(drain(spark, stream, out, cp))
+
+    # second batch continues the SAME state (last emit carried over)
+    store.write(spark.createDataFrame(mk_rows("e1", 5, base=5_000_000), SCHEMA))
+    stream2 = stateful_stream(continuous_query(spark, root), when)
+    got2 = sorted(drain(spark, stream2, out, cp))
+
+    # oracle: one continuous interpreter run over all 10 records
+    node, _ = parse_when(when)
+    ev = Evaluator(node)
+    expect = []
+    from reductstore_spark.condition import values as V
+    for ts in [i * 1_000_000 for i in range(10)]:
+        if V.as_bool(ev.apply(Context(ts, {}, {}))):
+            expect.append(ts)
+    assert got1 + got2 == expect, (got1, got2, expect)
