@@ -43,11 +43,19 @@ class QueryEngine:
         strict: bool = False,
         only_metadata: bool = False,
         ordered: bool = True,
+        ext=None,
     ) -> DataFrame:
         df = self._scan(records, entries, start, stop)
         if when is not None:
             node, directives = parse_when(when)
             df = plan_parsed(df, node, directives, strict)
+            if ext is None and "#ext" in directives:
+                # directive values arrive as JSON strings (parser.rs:108-125)
+                import json as _json
+                ext = [_json.loads(v.val) for v in directives["#ext"]]
+        if ext is not None:
+            from .operators.ext import apply_ext_pipeline
+            df = apply_ext_pipeline(df, ext, strict)
         if only_metadata:
             df = df.withColumn("payload", F.lit(None).cast("binary"))
         if ordered:
