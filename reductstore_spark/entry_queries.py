@@ -670,6 +670,160 @@ SELECT vec_id, label, cosine, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash + LSH near-duplicate pairs (shingle->signature->band->
+    bucket-join->verify); md5-based hashes keep it engine-portable."""
+    prep(spark)
+    from .operators.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, shingle_k=3, num_hashes=8, num_bands=4,
+                             threshold=0.5)
+
+
+SQL_DEDUP_MINHASH = r"""
+WITH sh AS (
+  SELECT doc_id AS id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+), sig AS (
+  SELECT id,
+    [list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s))) FOR i IN range(0, 8)] AS sig
+  FROM sh
+), banded AS (
+  SELECT id, unnest([{'idx': b, 'h': md5(sig[2*b+1] || sig[2*b+2])} FOR b IN range(0, 4)]) AS u
+  FROM sig
+), bf AS (
+  SELECT id, u.idx AS band_idx, u.h AS band_hash FROM banded
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bf a JOIN bf b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+          len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b
+) WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signatures per document (near-dup fingerprints)."""
+    prep(spark)
+    from .operators.dedup import simhash32
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS ws
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(ws, w -> CAST(list_sum(
+      [ (strpos('0123456789abcdef', md5(w)[i:i]) - 1) * (16 ** (8 - i)) FOR i IN range(1, 9) ]
+    ) AS BIGINT)) AS hs
+  FROM toks
+)
+SELECT doc_id,
+  CAST(list_sum([ CASE WHEN list_sum(
+        [ ((h >> b) & 1) * 2 - 1 FOR h IN hs ]) > 0
+      THEN 2 ** b ELSE 0 END FOR b IN range(0, 32) ]) AS BIGINT) AS simhash
+FROM hashed
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors: corpus bucketed by
+    hyperplane sign pattern; the query probes only its own bucket.
+    Exactly reproducible: integer-coefficient planes."""
+    prep(spark)
+    from .operators.similarity import cosine, lsh_bucket, plane_coeffs
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = plane_coeffs(8, 64)
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb"))
+    cands = bucketed.where(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qb"))
+    scored = cands.select(
+        "vec_id", "bucket",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("vec_id", "bucket", "cosine", F.col("rnk").cast("int").alias("rnk")))
+
+
+SQL_ANN_LSH = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    CAST(list_sum([ CASE WHEN list_sum(
+          [ embedding[d+1]::DOUBLE * (((p*31 + d*17) % 13) - 6) FOR d IN range(0, 64) ]
+        ) >= 0 THEN 2 ** p ELSE 0 END FOR p IN range(0, 8) ]) AS BIGINT) AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, bucket,
+    round(list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+  FROM b, q WHERE b.bucket = q.qb AND vec_id != 0
+)
+SELECT vec_id, bucket, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal decode stage: binary payloads -> typed metadata via
+    Arrow-batched mapInPandas (decode stubbed deterministically)."""
+    prep(spark)
+    from .operators.multimodal import attach_payload, extract_media_meta
+    docs = attach_payload(_t(spark, sf_dir, "documents"))
+    return extract_media_meta(docs)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, 'application/octet-stream' AS content_type,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS sha256,
+  CAST(16 + CAST(list_sum(
+    [ (strpos('0123456789abcdef', sha256(text)[i:i]) - 1) * (16 ** (2 - i)) FOR i IN range(1, 3) ]
+  ) AS BIGINT) % 240 AS INT) AS width,
+  CAST(16 + CAST(list_sum(
+    [ (strpos('0123456789abcdef', sha256(text)[i:i]) - 1) * (16 ** (4 - i)) FOR i IN range(3, 5) ]
+  ) AS BIGINT) % 240 AS INT) AS height
+FROM documents
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Per-class embedding statistics (decimal-exact averaging)."""
+    prep(spark)
+    from .operators.similarity import norm
+    emb = _t(spark, sf_dir, "embeddings")
+    n = F.round(norm(F.col("embedding")), 6).cast("decimal(18,6)")
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.avg(n).cast("double").alias("avg_norm")))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label, count(*) AS n_vecs,
+  CAST(AVG(CAST(round(sqrt(list_sum(
+      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS DECIMAL(18,6))) AS DOUBLE)
+    AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -702,6 +856,11 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     # C: LLM pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -1,0 +1,146 @@
+"""Deduplication operators for large-scale document corpora.
+
+All operators are pure DataFrame transformations built on deterministic,
+engine-portable primitives (md5 over strings) so results are exactly
+reproducible by any engine — the DuckDB oracles in entry_queries mirror
+these formulas term-for-term.
+
+Scale design (100 TB): everything is shuffle-bounded by the LSH band
+join — no all-pairs comparison ever materializes.  Candidate generation
+is `explode(bands) -> groupBy(band)` (equi-join on band hash), and
+verification touches only candidate pairs.  Skewed bands (e.g. boiler-
+plate text) are handled by AQE skew-join splitting; exact dedup is a
+single hash aggregation with map-side combine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_words(text: Column) -> Column:
+    """lower + whitespace-collapse + split — the canonical token stream."""
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """Distinct word k-gram shingles of a text column."""
+    words = normalized_words(text)
+    if k == 1:
+        return F.array_distinct(words)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: per hash i, the minimum md5 of ('i|' + shingle).
+
+    md5-as-hash keeps the signature engine-portable (identical in any
+    SQL engine) and uniformly distributed; the classic (a*x+b) mod p
+    family would need a shared bigint hash of the shingle first."""
+    def hasher(i: int):
+        # NB: single-parameter lambdas only — F.transform feeds an index
+        # argument to two-parameter callables
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sigs = [F.array_min(F.transform(shingles, hasher(i)))
+            for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band hashes: md5 of the concatenated signature slice per band."""
+    bands = []
+    for b in range(num_bands):
+        parts = [signature.getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        bands.append(F.md5(F.concat(*parts)))
+    return F.array(*bands)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 1,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with true
+    Jaccard over the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # candidate generation shuffles ONLY (id, band) — never the shingle
+    # arrays; a hot band (boilerplate cluster) would otherwise square the
+    # array payload through the join
+    banded = sh.select(
+        "id",
+        F.posexplode(lsh_bands(F.col("sig"), num_bands, rows)).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = sh.select("id", "sh")
+    verified = (
+        cand
+        .join(shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+    )
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over unigram tokens.
+
+    Per token: h = first 8 hex chars of md5 (a 32-bit int); bit b of the
+    result is 1 iff sum over tokens of (2*bit_b(h) - 1) > 0.  Portable:
+    only md5 + integer arithmetic."""
+    words = F.array_distinct(normalized_words(text))
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    def voter(bit: int):
+        return lambda acc, h: acc + (F.shiftright(h, bit) % 2) * 2 - 1
+
+    bits = []
+    for b in range(32):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bb in bits[1:]:
+        out = out + bb
+    return out
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per identical content."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))

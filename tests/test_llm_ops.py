@@ -1,0 +1,108 @@
+"""LLM-pipeline operators: dedup, similarity, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reductstore_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    jaccard,
+    minhash_lsh_pairs,
+    simhash32,
+    word_shingles,
+)
+from reductstore_spark.operators.multimodal import (
+    attach_payload,
+    decode_stub,
+    extract_media_meta,
+    frame_sample_stub,
+)
+from reductstore_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_bucket,
+    plane_coeffs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different text about spark engines here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "id long, text string")
+    assert short.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_exact_dedup_keep_first(docs):
+    out = exact_dedup_keep_first(docs, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs, shingle_k=3, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got  # near dup shares most trigrams
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    out = {r["doc_id"]: r["simhash"] for r in
+           docs.select("doc_id", simhash32(F.col("text")).alias("simhash")).collect()}
+    assert out[1] == out[4]  # identical text -> identical signature
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+    rows = []
+    for i in range(50):
+        ang = i / 50 * math.pi
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.1 * i, 1.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vecs):
+    q = vecs.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = brute_force_topk(vecs.where(F.col("vec_id") != 0), q, 5)
+    rows = out.orderBy("rnk").collect()
+    assert len(rows) == 5
+    assert rows[0]["cosine"] >= rows[-1]["cosine"]
+    assert rows[0]["vec_id"] == 1  # angularly closest
+
+
+def test_lsh_bucket_groups_similar(vecs):
+    planes = plane_coeffs(6, 4)
+    b = vecs.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    rows = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    # neighbors mostly share buckets; distant vectors differ
+    assert rows[0] == rows[1] or rows[1] == rows[2]
+    assert len(set(rows.values())) > 1
+
+
+def test_media_meta_and_frames(docs):
+    media = attach_payload(docs)
+    meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[1]["sha256"] == meta[4]["sha256"]
+    assert meta[1]["n_bytes"] == len(b"the quick brown fox jumps over the lazy dog")
+    d, w, h = decode_stub(b"the quick brown fox jumps over the lazy dog")
+    assert (meta[1]["width"], meta[1]["height"]) == (w, h)
+    assert 16 <= w < 256 and 16 <= h < 256
+
+    frames = frame_sample_stub(media, every_n=1)
+    rows = frames.collect()
+    assert len(rows) >= 4
+    assert {r["frame_idx"] for r in rows} == {0}  # tiny payloads: 1 frame each
