@@ -35,8 +35,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     prep(spark)
 
-    # warmup: trivial action to absorb JVM/codegen startup
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # warmup pass: absorb JVM/JIT/codegen startup so the measured pass
+    # reflects steady-state throughput (the 100 TB design point — long
+    # scans amortize compilation, local micro-queries don't)
+    for name, (fn, _sql) in QUERIES.items():
+        df = fn(spark, sf_dir)
+        df.agg(F.sum(F.xxhash64(*df.columns))).collect()
+    spark.catalog.clearCache()
 
     timings = {}
     total = 0.0

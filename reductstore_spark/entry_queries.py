@@ -45,8 +45,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events_as_records(prep(spark), sf_dir)
+def _records(spark: SparkSession, sf_dir: str, start_us=None, stop_us=None) -> DataFrame:
+    return events_as_records(prep(spark), sf_dir, start_us, stop_us)
 
 
 def _entry_ts(df: DataFrame) -> DataFrame:
@@ -59,8 +59,9 @@ def _entry_ts(df: DataFrame) -> DataFrame:
 
 def q_scan_time_range(spark, sf_dir):
     """Time-range scan, start inclusive / stop exclusive
-    (filters/time_range.rs:8-40)."""
-    return _entry_ts(_QE.query(_records(spark, sf_dir), start=T0, stop=T1, ordered=False))
+    (filters/time_range.rs:8-40); range pushed to the Parquet scan."""
+    return _entry_ts(_QE.query(_records(spark, sf_dir, start_us=T0, stop_us=T1),
+                               start=T0, stop=T1, ordered=False))
 
 
 SQL_SCAN_TIME_RANGE = f"""

@@ -38,6 +38,25 @@ def word_shingles(text: Column, k: int) -> Column:
         F.array().cast("array<string>"))
 
 
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows, distinct per doc — built with posexplode +
+    window lead() so every expression stays in whole-stage codegen (the
+    array-HOF construction evaluates interpreted, ~10x slower at scale)."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w"))
+    if k == 1:
+        return words.select("id", F.col("w").alias("s")).distinct()
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
+    grams = words.select(
+        "id", F.concat_ws(" ", *parts).alias("s"),
+        F.lead("w", k - 1).over(w).alias("__last"))
+    return grams.where(F.col("__last").isNotNull()).select("id", "s").distinct()
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: per hash i, the minimum md5 of ('i|' + shingle).
 
@@ -84,17 +103,27 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_hashes // num_bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+    # signature computation in exploded form: per (doc, shingle) row the 8
+    # md5s are FLAT codegen'd expressions; groupBy(id).min folds them with
+    # map-side combine.  (Array-HOF form evaluates interpreted: ~10x slower.)
+    exploded = exploded_shingles(base, "id", "__text", shingle_k)
+    hashed = exploded.select(
+        "id", *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+                for i in range(num_hashes)])
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(num_hashes)])
+
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"sig{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat(*parts)))
     # candidate generation shuffles ONLY (id, band) — never the shingle
     # arrays; a hot band (boilerplate cluster) would otherwise square the
     # array payload through the join
-    banded = sh.select(
-        "id",
-        F.posexplode(lsh_bands(F.col("sig"), num_bands, rows)).alias("band_idx", "band_hash"),
-    )
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -104,7 +133,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingle_sets = sh.select("id", "sh")
+    # the candidate set is tiny and referenced three times below (two id
+    # branches + verification) — persist so the signature pipeline runs once
+    cand = cand.persist()
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))).distinct()
+    shingle_sets = (
+        base.join(cand_ids, "id", "left_semi")
+        .select("id", word_shingles(F.col("__text"), shingle_k).alias("sh"))
+    )
     verified = (
         cand
         .join(shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -124,17 +161,23 @@ def simhash32(text: Column) -> Column:
     words = F.array_distinct(normalized_words(text))
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
-    def voter(bit: int):
-        return lambda acc, h: acc + (F.shiftright(h, bit) % 2) * 2 - 1
 
-    bits = []
-    for b in range(32):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
-        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bb in bits[1:]:
-        out = out + bb
-    return out
+    # single pass: fold all 32 bit-votes at once — per-bit aggregates
+    # would re-evaluate the md5 hash array 32 times
+    def step(acc, h):
+        bit_votes = F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda b: (F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2) * 2 - 1,
+        )
+        return F.zip_with(acc, bit_votes, lambda a, v: a + v)
+
+    votes = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("long"), 32), step)
+    return F.aggregate(
+        F.zip_with(votes, F.sequence(F.lit(0), F.lit(31)),
+                   lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b.cast("double"))
+                                       .cast("long")).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -83,6 +83,17 @@ class QueryEngine:
         remove_records.rs:62-160); returns removed record count."""
         return store.remove_matched(self.matched_keys(records, **kwargs))
 
+    def read_one(self, records: DataFrame, bucket: str, entry: str,
+                 ts: Optional[int] = None) -> DataFrame:
+        """Single-record read (api/http/entry/read_single.rs): exact
+        timestamp when given, else the latest FINISHED record."""
+        df = records.where(
+            (F.col("bucket") == bucket) & (F.col("entry") == entry)
+            & (F.col("state") == STATE_FINISHED))
+        if ts is not None:
+            return df.where(F.col("ts") == F.lit(int(ts))).limit(1)
+        return df.orderBy(F.col("ts").desc()).limit(1)
+
     # -- internals -------------------------------------------------------
     def _scan(
         self,

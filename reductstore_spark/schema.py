@@ -53,7 +53,8 @@ def with_partition_cols(df: DataFrame) -> DataFrame:
     return df.withColumn("ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long"))
 
 
-def events_as_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_records(spark: SparkSession, sf_dir: str,
+                      start_us=None, stop_us=None) -> DataFrame:
     """Map the driver's ``events`` table into the records model.
 
     entry  <- event_type   (one time series per type)
@@ -61,8 +62,18 @@ def events_as_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels <- user / value / k (from props JSON) / big (sparse: only when
               value > 100, exercising $exists and missing-label paths)
     state  <- FINISHED
+
+    ``start_us``/``stop_us`` push the time range onto the RAW nanosecond
+    column *before* the µs derivation — a filter on the derived
+    ``ts DIV 1000`` cannot reach the Parquet scan (no row-group pruning),
+    but on the raw column it does.  The RecordStore path doesn't need
+    this: its ``ts`` is physical.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if start_us is not None:
+        ev = ev.where(F.col("ts") >= F.lit(int(start_us) * 1000))
+    if stop_us is not None:
+        ev = ev.where(F.col("ts") < F.lit(int(stop_us) * 1000))
     # ts arrives as long nanoseconds (see session.py nanosAsLong); integer
     # DIV keeps exactness -- double division would lose precision at 1e18
     ts_us = F.expr("ts DIV 1000")

@@ -48,5 +48,18 @@ def get_session(app_name: str = "reductstore-spark", master: str | None = None,
         "spark.sql.shuffle.partitions",
         str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
     )
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    # local test corpora are single small parquet files; without this every
+    # scan is one task on one core.  Cluster deployments with properly
+    # sized files keep the 128 MB default (this is only in get_session,
+    # not configure()).
+    builder = builder.config("spark.sql.files.maxPartitionBytes", "4m")
+    builder = builder.config("spark.sql.files.openCostInBytes", "512k")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    # the UI listener bus lags badly across many small jobs (benchmark
+    # pattern) and causes multi-second stalls; headless anyway
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.ui.showConsoleProgress", "false")
+    # a workload of many distinct queries overflows the 100-entry codegen
+    # class cache -> Janino recompilation stalls on revisit
+    builder = builder.config("spark.sql.codegen.cache.maxEntries", "2000")
     return builder.getOrCreate()

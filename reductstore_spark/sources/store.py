@@ -33,6 +33,10 @@ from ..schema import RECORDS_SCHEMA, US_PER_DAY
 _PARTITIONING = ["bucket", "entry", "ts_day"]
 
 
+class QuotaExceeded(Exception):
+    """HARD quota rejection (QuotaType::HARD, bucket/quotas.rs)."""
+
+
 class RecordStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -153,6 +157,66 @@ class RecordStore:
         rows.count()
         (rows.write.mode("overwrite").partitionBy(*_PARTITIONING).parquet(self.root))
         rows.unpersist()
+
+    # -- namespace ops ---------------------------------------------------
+    def rename_entry(self, bucket: str, old: str, new: str) -> None:
+        """Rename a time series (storage/bucket/rename_entry.rs): rewrite
+        the entry's partitions under the new name, then drop the old
+        directories.  Data-proportional to ONE entry, not the store."""
+        raw = self.spark.read.parquet(self.root)
+        moved = (raw.where((F.col("bucket") == bucket) & (F.col("entry") == old))
+                 .withColumn("entry", F.lit(new)))
+        if moved.isEmpty():
+            raise ValueError(f"entry '{old}' not found in bucket '{bucket}'")
+        moved = moved.persist()
+        moved.count()
+        (moved.write.mode("append").partitionBy(*_PARTITIONING).parquet(self.root))
+        moved.unpersist()
+        self._drop_entry_dirs(bucket, old)
+
+    def rename_bucket(self, old: str, new: str) -> None:
+        """Rename a bucket: pure directory move (bucket is the top-level
+        partition)."""
+        src = os.path.join(self.root, f"bucket={old}")
+        dst = os.path.join(self.root, f"bucket={new}")
+        if not os.path.isdir(src):
+            raise ValueError(f"bucket '{old}' not found")
+        os.rename(src, dst)
+
+    def _drop_entry_dirs(self, bucket: str, entry: str) -> None:
+        import shutil
+        from urllib.parse import quote
+
+        broot = os.path.join(self.root, f"bucket={bucket}")
+        # Spark escapes partition values (e.g. '/' -> %2F); try both the
+        # escaped form and a raw scan for robustness
+        candidates = {quote(entry, safe=""), entry}
+        if os.path.isdir(broot):
+            for d in os.listdir(broot):
+                if d.startswith("entry=") and d[len("entry="):] in candidates:
+                    shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
+
+    # -- quota -----------------------------------------------------------
+    def bucket_size(self, bucket: str) -> int:
+        return sum(size for _, _, size in self._bucket_days(bucket))
+
+    def write_with_quota(self, df: DataFrame, quota_type: str = "NONE",
+                         quota_bytes: int = 0) -> None:
+        """Write with quota enforcement (bucket/quotas.rs:20-110):
+        HARD rejects the batch when over quota; FIFO evicts the oldest
+        day partitions after the write."""
+        if quota_type == "HARD" and quota_bytes > 0:
+            incoming = df.agg(
+                F.sum(F.coalesce(F.length("payload"), F.lit(0)))).collect()[0][0] or 0
+            buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
+            for b in buckets:
+                if self.bucket_size(b) + incoming > quota_bytes:
+                    raise QuotaExceeded(
+                        f"bucket '{b}' would exceed the hard quota of {quota_bytes} bytes")
+        self.write(df)
+        if quota_type == "FIFO" and quota_bytes > 0:
+            for r in df.select("bucket").distinct().collect():
+                self.evict_fifo(r["bucket"], quota_bytes)
 
     # -- lifecycle -------------------------------------------------------
     def compact(self) -> None:
