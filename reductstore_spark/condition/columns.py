@@ -490,10 +490,13 @@ class ColumnCompiler:
             F.when(any_str, F.lit("Cannot divide by string")),
             F.when(int_zero, F.lit("Cannot divide by zero")),
         )
-        # Spark % on longs/doubles keeps the dividend's sign (Java %), like Rust
+        # Spark % on longs/doubles keeps the dividend's sign (Java %), like
+        # Rust; but Spark yields NULL for float % 0.0 where IEEE (and Rust)
+        # yield NaN — patch that case explicitly
+        f_rem = F.when(fb == 0.0, F.lit(float("nan"))).otherwise(fa % fb)
         return (
             F.when(any_str | int_zero, _mk(F.lit(TBOOL), e=e))
-            .when(either_f, _mk(F.lit(TFLOAT), f=fa % fb, e=e))
+            .when(either_f, _mk(F.lit(TFLOAT), f=f_rem, e=e))
             .otherwise(_mk(F.lit(TINT), i=ia % ib, e=e))
         )
 

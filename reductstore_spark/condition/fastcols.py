@@ -63,6 +63,7 @@ class FV:
     num: Optional[Column] = None
     err: Optional[Column] = None
     numeric_only: bool = False  # derived arithmetic: always numeric
+    flt = None  # runtime float-kind (Column/bool); None = statically int-ish
 
 
 _FALSE = None  # placeholder; use F.lit(False) at call sites
@@ -70,6 +71,16 @@ _FALSE = None  # placeholder; use F.lit(False) at call sites
 
 def _err(fv: FV) -> Column:
     return fv.err if fv.err is not None else F.lit(False)
+
+
+def _is_float_kind(fv: FV) -> Column:
+    """Runtime float-kind: distinguishes "0" (Int) from "0.0" (Float) —
+    needed where semantics differ (int % 0 errors, float % 0.0 is NaN)."""
+    if fv.const is not None:
+        return F.lit(fv.const.kind == V.FLOAT)
+    if fv.flt is None:
+        return F.lit(False)
+    return fv.flt if isinstance(fv.flt, Column) else F.lit(bool(fv.flt))
 
 
 def _is_str(fv: FV) -> Column:
@@ -140,7 +151,9 @@ class FlatCompiler:
             F.when(is_bool, (raw == "true").cast("double"))
             .when(numeric, raw.try_cast("double"))
         )
-        return FV(raw=raw, num=num, err=raw.isNull())
+        fv = FV(raw=raw, num=num, err=raw.isNull())
+        fv.flt = numeric & ~is_bool & ~raw.rlike(_INT_RE)
+        return fv
 
     def compile(self, node: Node) -> FV:
         if isinstance(node, Const):
@@ -184,7 +197,9 @@ class FlatCompiler:
             return self._arith(name, a, b)
         if name == "$abs":
             a = self.compile(node.operands[0])
-            return FV(num=F.abs(_num_rt(a)), err=_arith_err(a), numeric_only=True)
+            out = FV(num=F.abs(_num_rt(a)), err=_arith_err(a), numeric_only=True)
+            out.flt = _is_float_kind(a)
+            return out
         if name in ("$contains", "$starts_with", "$ends_with"):
             a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
             da, db = _display(a), _display(b)
@@ -267,9 +282,10 @@ class FlatCompiler:
         return F.coalesce(val, F.lit(False)), err
 
     def _ordering(self, name: str, a: FV, b: FV) -> FV:
+        import operator as _op
+
         base_err = _err(a) | _err(b)
-        op = {"$gt": Column.__gt__, "$gte": Column.__ge__,
-              "$lt": Column.__lt__, "$lte": Column.__le__}[name]
+        op = {"$gt": _op.gt, "$gte": _op.ge, "$lt": _op.lt, "$lte": _op.le}[name]
         if a.const is not None and b.const is not None:
             try:
                 c = V.val_cmp(a.const, b.const)
@@ -327,6 +343,8 @@ class FlatCompiler:
                 raise Unsupported("string constant in arithmetic")
         na, nb = _num_rt(a), _num_rt(b)
         err = _arith_err(a) | _arith_err(b)
+        either_flt = _is_float_kind(a) | _is_float_kind(b)
+        out_flt = either_flt
         if name == "$add":
             num = na + nb
         elif name == "$sub":
@@ -336,15 +354,21 @@ class FlatCompiler:
         elif name == "$div":
             err = err | (nb == 0.0)
             num = na / nb
+            out_flt = F.lit(True)
         elif name == "$div_num":
             # as_int truncation then i64 trunc division
             ta, tb = _trunc(na), _trunc(nb)
             err = err | (tb == 0.0)
             num = _trunc(ta / tb)
+            out_flt = F.lit(False)
         else:  # $rem — fmod keeps the dividend's sign, like Rust %
-            err = err | ((nb == 0.0) & (na == _trunc(na)) & (nb == _trunc(nb)))
-            num = na % nb
-        return FV(num=num, err=err, numeric_only=True)
+            # int % 0 is an error; float % 0.0 is NaN (IEEE / Rust)
+            err = err | ((nb == 0.0) & ~either_flt)
+            num = F.when((nb == 0.0) & either_flt, F.lit(float("nan"))) \
+                .otherwise(na % nb)
+        out = FV(num=num, err=err, numeric_only=True)
+        out.flt = out_flt
+        return out
 
     def _date(self, name: str, node: Op) -> FV:
         tsv = self.compile(node.operands[0])
@@ -373,7 +397,9 @@ class FlatCompiler:
         if target in ("int", "duration"):
             return FV(num=_trunc(_num_rt(a)), err=_arith_err(a), numeric_only=True)
         if target == "float":
-            return FV(num=_num_rt(a), err=_arith_err(a), numeric_only=True)
+            out = FV(num=_num_rt(a), err=_arith_err(a), numeric_only=True)
+            out.flt = True
+            return out
         if target == "string":
             raise Unsupported("cast to string")  # changes kind to STRING
         return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)

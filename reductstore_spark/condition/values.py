@@ -310,6 +310,10 @@ def val_rem(a: Value, b: Value) -> Value:
     if a.kind == FLOAT or b.kind == FLOAT:
         x, y = as_float(a), as_float(b)
         import math
+        # Rust f64 % follows IEEE: x % 0.0 and inf % y are NaN (Python's
+        # fmod raises instead)
+        if y == 0.0 or math.isinf(x) or math.isnan(x) or math.isnan(y):
+            return vfloat(float("nan"))
         return vfloat(math.fmod(x, y))
     x, y = as_int(a), as_int(b)
     if y == 0:
