@@ -825,6 +825,147 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs with word-count blocking (exact
+    within blocks; shuffles only block keys, never all pairs)."""
+    prep(spark)
+    from .operators.dedup import jaccard, word_shingles
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        word_shingles(F.col("text"), 2).alias("sh"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("nw"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    # blocking: same word count (shuffle-friendly equi-join key; word
+    # shuffles/near-identical docs preserve it)
+    cand = a.join(b, (F.col("a.nw") == F.col("b.nw"))
+                  & (F.col("a.id") < F.col("b.id")))
+    out = cand.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"))
+    return out.where(F.col("jaccard") >= 0.8)
+
+
+SQL_DEDUP_NGRAM = r"""
+WITH sh AS (
+  SELECT doc_id AS id,
+    CASE WHEN len(ws) >= 2 THEN
+      list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))])
+    ELSE [] END AS sh,
+    len(string_split_regex(trim(lower(text)), '\s+')) AS nw
+  FROM (SELECT doc_id, text,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.nw = b.nw AND a.id < b.id
+) WHERE jaccard >= 0.8
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs inside LSH buckets (the
+    scale path: bucket first, exact cosine only within buckets)."""
+    prep(spark)
+    from .operators.similarity import cosine, lsh_bucket, plane_coeffs
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = plane_coeffs(8, 64)
+    b = emb.select("vec_id", "embedding",
+                   lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.vec_id") < F.col("y.vec_id")))
+    out = pairs.select(
+        F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"),
+        F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 6).alias("cosine"))
+    return out.where(F.col("cosine") >= 0.99)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    CAST(list_sum([ CASE WHEN list_sum(
+          [ embedding[d+1]::DOUBLE * (((p*31 + d*17) % 13) - 6) FOR d IN range(0, 64) ]
+        ) >= 0 THEN 2 ** p ELSE 0 END FOR p IN range(0, 8) ]) AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+    round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+) WHERE cosine >= 0.99
+"""
+
+
+def q_agg_order_priority(spark, sf_dir):
+    """Q4-style: orders with at least one late lineitem, per priority
+    (existential semi-join)."""
+    prep(spark)
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sub = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        od.join(sub, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+               & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_AGG_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_agg_promo_share(spark, sf_dir):
+    """Q14-style conditional aggregation: revenue share of a part-type
+    family (decimal-exact ratio)."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    joined = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("STANDARD"), rev)
+              .otherwise(F.lit(0).cast("decimal(28,6)"))).alias("standard_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        F.col("standard_rev").cast("double").alias("standard_rev"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+        F.round(F.col("standard_rev").cast("double") / F.col("total_rev").cast("double"), 6)
+        .alias("share"),
+    )
+
+
+SQL_AGG_PROMO_SHARE = """
+WITH j AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)) AS rev,
+    p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(SUM(CASE WHEN starts_with(p_type, 'STANDARD') THEN rev
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS standard_rev,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       round(CAST(SUM(CASE WHEN starts_with(p_type, 'STANDARD') THEN rev
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS share
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -855,6 +996,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "join_topn": (q_join_topn, SQL_JOIN_TOPN),
     "join_region": (q_join_region, SQL_JOIN_REGION),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "agg_order_priority": (q_agg_order_priority, SQL_AGG_ORDER_PRIORITY),
+    "agg_promo_share": (q_agg_promo_share, SQL_AGG_PROMO_SHARE),
     # C: LLM pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -862,6 +1005,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
