@@ -82,12 +82,15 @@ class RecordStore:
             .drop("__rn", "__seq", "ts_day")
         )
 
-    def entries(self, bucket: Optional[str] = None):
+    def entries(self, bucket: Optional[str] = None, include_hidden: bool = False):
         """Distinct (bucket, entry) pairs from partition metadata — a
-        metadata-only scan thanks to partition columns."""
+        metadata-only scan thanks to partition columns.  System $-entries
+        are hidden unless requested (entry/system.rs)."""
         df = self.spark.read.parquet(self.root).select("bucket", "entry").distinct()
         if bucket:
             df = df.where(F.col("bucket") == bucket)
+        if not include_hidden:
+            df = df.where(~F.col("entry").rlike(r"(^|/)\$"))
         return [(r["bucket"], r["entry"]) for r in df.collect()]
 
     # -- mutation --------------------------------------------------------
@@ -157,6 +160,30 @@ class RecordStore:
         rows.count()
         (rows.write.mode("overwrite").partitionBy(*_PARTITIONING).parquet(self.root))
         rows.unpersist()
+
+    # -- system $meta entries --------------------------------------------
+    # (reference: storage/entry/system.rs:10-42 — per-entry config records
+    # upserted by `key` label, hidden from listings, never FIFO-evicted)
+
+    def write_meta(self, bucket: str, entry: str, key: str, labels: dict) -> None:
+        import zlib
+
+        meta_entry = f"{entry}/$meta"
+        # upsert-by-key: the record id (ts) is a stable hash of the key
+        ts = zlib.crc32(key.encode()) & 0x7FFFFFFF
+        row = [(bucket, meta_entry, ts, None, "application/json", 1,
+                {**labels, "key": key}, {})]
+        self.write(self.spark.createDataFrame(row, RECORDS_SCHEMA))
+
+    def read_meta(self, bucket: str, entry: str) -> dict:
+        """{key -> labels} for an entry's $meta records."""
+        df = self.read().where(
+            (F.col("bucket") == bucket) & (F.col("entry") == f"{entry}/$meta"))
+        out = {}
+        for r in df.collect():
+            labels = dict(r["labels"])
+            out[labels.pop("key")] = labels
+        return out
 
     # -- namespace ops ---------------------------------------------------
     def rename_entry(self, bucket: str, old: str, new: str) -> None:
@@ -252,6 +279,10 @@ class RecordStore:
         broot = os.path.join(self.root, f"bucket={bucket}")
         for dirpath, _dirnames, filenames in os.walk(broot):
             if "ts_day=" in os.path.basename(dirpath):
+                # system $meta entries are exempt from quota eviction
+                # (entry/system.rs; '/' is %-escaped in partition dirs)
+                if "%24meta" in dirpath or "$meta" in dirpath:
+                    continue
                 day = int(os.path.basename(dirpath).split("=", 1)[1])
                 size = sum(
                     os.path.getsize(os.path.join(dirpath, f)) for f in filenames

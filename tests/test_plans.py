@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: pushdown, broadcasts, partial aggregation,
+$meta system entries.  Guards the scale-critical physical-plan properties
+the engine depends on at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reductstore_spark.entry_queries import QUERIES, T0, T1, _records, prep
+from reductstore_spark.query import QueryEngine
+from reductstore_spark.sources.store import RecordStore
+
+SCHEMA = ("bucket string, entry string, ts long, payload binary, "
+          "content_type string, state int, labels map<string,string>, "
+          "computed_labels map<string,string>")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_time_range_reaches_parquet_scan(spark, sf_dir):
+    df = QueryEngine().query(
+        _records(spark, sf_dir, start_us=T0, stop_us=T1),
+        start=T0, stop=T1, ordered=False)
+    plan = plan_of(df)
+    scan = [l for l in plan.split("\n") if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(ts" in scan and "LessThan(ts" in scan, scan
+
+
+def test_store_scan_pushes_ts_range(spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    rows = [("b", "e", i * 1_000_000, None, "", 1, {}, {}) for i in range(10)]
+    store.write(spark.createDataFrame(rows, SCHEMA))
+    df = QueryEngine().query(store.read(), start=2_000_000, stop=8_000_000,
+                             ordered=False)
+    plan = plan_of(df)
+    scan = [l for l in plan.split("\n") if "PushedFilters" in l][0]
+    # the physical ts column lets both bounds reach the scan
+    assert "GreaterThanOrEqual(ts,2000000)" in scan and "LessThan(ts,8000000)" in scan, scan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["join_region"][0](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:500]
+
+
+def test_agg_partial_mapside(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_pricing"][0](spark, sf_dir))
+    assert "partial_" in plan, "no map-side partial aggregation"
+    scan = [l for l in plan.split("\n") if "ReadSchema" in l][0]
+    # column pruning: unused lineitem columns never reach the scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan, scan
+
+
+def test_flat_predicate_no_python_no_hof(spark, sf_dir):
+    df = QUERIES["when_in"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "transform(" not in plan  # no interpreted HOF in the hot path
+
+
+def test_meta_entries(spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    rows = [("b", "e1", 0, None, "", 1, {}, {})]
+    store.write(spark.createDataFrame(rows, SCHEMA))
+    store.write_meta("b", "e1", "ext_defaults", {"img": "rgb"})
+    store.write_meta("b", "e1", "ext_defaults", {"img": "gray"})  # upsert by key
+    store.write_meta("b", "e1", "other", {"x": "1"})
+    meta = store.read_meta("b", "e1")
+    assert meta == {"ext_defaults": {"img": "gray"}, "other": {"x": "1"}}
+    # hidden from listings and wildcard queries
+    assert store.entries() == [("b", "e1")]
+    assert ("b", "e1/$meta") in store.entries(include_hidden=True)
+    out = QueryEngine().query(store.read())
+    assert {r["entry"] for r in out.select("entry").collect()} == {"e1"}
+    # FIFO eviction ignores $meta partitions
+    assert store.evict_fifo("b", quota_bytes=1) == 0
