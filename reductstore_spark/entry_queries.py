@@ -829,17 +829,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup pairs with word-count blocking (exact
     within blocks; shuffles only block keys, never all pairs)."""
     prep(spark)
-    from .operators.dedup import jaccard, word_shingles
+    from .operators.dedup import jaccard, normalized_words, word_shingles
     docs = _t(spark, sf_dir, "documents")
+    words = normalized_words(F.col("text"))
+    # shuffle-invariant block key: word count + the 3 lexicographically
+    # smallest distinct words — word-order mutations preserve it, and it
+    # keeps blocks tight enough that exact jaccard stays block-quadratic
+    block = F.md5(F.concat_ws(
+        "|", F.size(words).cast("string"),
+        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(words)), 1, 3))))
     sh = docs.select(
         F.col("doc_id").alias("id"),
         word_shingles(F.col("text"), 2).alias("sh"),
-        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("nw"),
-    )
+        block.alias("blk"),
+    ).persist()  # referenced by both join sides — compute shingles once
     a, b = sh.alias("a"), sh.alias("b")
-    # blocking: same word count (shuffle-friendly equi-join key; word
-    # shuffles/near-identical docs preserve it)
-    cand = a.join(b, (F.col("a.nw") == F.col("b.nw"))
+    cand = a.join(b, (F.col("a.blk") == F.col("b.blk"))
                   & (F.col("a.id") < F.col("b.id")))
     out = cand.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -853,7 +858,8 @@ WITH sh AS (
     CASE WHEN len(ws) >= 2 THEN
       list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))])
     ELSE [] END AS sh,
-    len(string_split_regex(trim(lower(text)), '\s+')) AS nw
+    md5(CAST(len(ws) AS VARCHAR) || '|' ||
+        array_to_string(list_sort(list_distinct(ws))[1:3], ' ')) AS blk
   FROM (SELECT doc_id, text,
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
         FROM documents)
@@ -862,7 +868,7 @@ SELECT id_a, id_b, jaccard FROM (
   SELECT a.id AS id_a, b.id AS id_b,
     round(len(list_intersect(a.sh, b.sh))::DOUBLE /
           len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-  FROM sh a JOIN sh b ON a.nw = b.nw AND a.id < b.id
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
 ) WHERE jaccard >= 0.8
 """
 
