@@ -972,6 +972,148 @@ FROM j
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse quantization to 16 deterministic centroids
+    (vec_id < 16 as the 'codebook'), cells stored as an inverted index;
+    the query probes its 2 nearest cells only — the classic scale path
+    when hyperplane LSH recall isn't enough."""
+    prep(spark)
+    from .operators.similarity import cosine
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    # assignment: nearest centroid by cosine (ties -> lowest cid)
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sim", F.round(cosine(F.col("embedding"), F.col("cvec")), 9))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "label", F.col("cid").alias("cell"))
+    )
+    qcells = (assigned.where(F.col("vec_id") == 0)
+              .crossJoin(F.broadcast(cents))
+              .withColumn("sim", F.round(cosine(F.col("embedding"), F.col("cvec")), 9))
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy(F.col("sim").desc(), F.col("cid"))))
+              .where(F.col("rn") <= 2)
+              .select(F.col("cid").alias("probe_cell"),
+                      F.col("embedding").alias("qv")))
+    cands = assigned.where(F.col("vec_id") != 0).join(
+        F.broadcast(qcells), F.col("cell") == F.col("probe_cell"))
+    scored = cands.select(
+        "vec_id", "label", "cell",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("vec_id", "label", "cell", "cosine",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+SQL_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, label, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, e.label, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 9) DESC,
+        c.cid) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), qcells AS (
+  SELECT cid AS probe_cell, a.embedding AS qv FROM (
+    SELECT a.embedding, c.cid,
+      row_number() OVER (ORDER BY
+        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cvec::DOUBLE[]), 9) DESC,
+        c.cid) AS rn
+    FROM (SELECT embedding FROM assigned WHERE vec_id = 0) a, cents c
+  ) a WHERE rn <= 2
+), scored AS (
+  SELECT vec_id, label, cell,
+    round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+  FROM assigned a JOIN qcells q ON a.cell = q.probe_cell
+  WHERE vec_id != 0
+)
+SELECT vec_id, label, cell, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the event stream (30-minute
+    inactivity gap) — per-user session statistics."""
+    prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "new_session",
+        (F.coalesce(F.col("ts_us") - F.lag("ts_us").over(w), F.lit(gap_us + 1))
+         > gap_us).cast("int"))
+    sessioned = marked.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long")
+             .alias("duration_sec"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("n_events").alias("max_events"),
+             F.max("duration_sec").alias("max_duration_sec"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN coalesce(epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)), 1800000001)
+         > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts_us,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+    CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+       max(duration_sec) AS max_duration_sec
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    """Daily rollup per event type (the hypertable-rollup pattern)."""
+    prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("(ts DIV 1000) DIV 86400000000").alias("day")
+    return (
+        ev.select(F.col("event_type").alias("entry"), day,
+                  F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("entry", "day")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("v").cast("double").alias("sum_value"))
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT event_type AS entry, epoch_us(ts) // 86400000000 AS day,
+  count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1009,6 +1151,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
