@@ -93,6 +93,32 @@ def test_replication_entry_glob_prefix_and_when(spark, tmp_path):
     assert {r["ts"] for r in rows} == {1_000_000, 2_000_000, 3_000_000}
 
 
+def test_stateful_stream_gate_across_batches(spark, tmp_path):
+    """$gate's deadline/latch state must survive micro-batch boundaries."""
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, root)
+    # input condition true while v < 3; gate window 2.5s
+    when = {"$gate": ["2500ms", {"&v": {"$lt": 3}}]}
+
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    got1 = sorted(drain(spark, stateful_stream(continuous_query(spark, root), when), out, cp))
+    store.write(spark.createDataFrame(mk_rows("e1", 5, base=5_000_000), SCHEMA))
+    got2 = sorted(drain(spark, stateful_stream(continuous_query(spark, root), when), out, cp))
+
+    node, _ = parse_when(when)
+    ev = Evaluator(node)
+    from reductstore_spark.condition import values as V
+    expect = []
+    for i in range(10):
+        ts = i * 1_000_000
+        labels = {"v": str(i if i < 5 else i)}
+        if V.as_bool(ev.apply(Context(ts, {"v": str(i)}, {}))):
+            expect.append(ts)
+    assert got1 + got2 == expect, (got1, got2, expect)
+
+
 def test_stateful_stream_each_t_across_batches(spark, tmp_path):
     root = str(tmp_path / "store")
     cp = str(tmp_path / "cp")
