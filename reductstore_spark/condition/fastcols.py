@@ -133,10 +133,15 @@ def _display(fv: FV) -> Column:
 
 class FlatCompiler:
     def __init__(self, ts: Column, labels: Column,
-                 computed_labels: Optional[Column] = None):
+                 computed_labels: Optional[Column] = None,
+                 label_columns: Optional[dict] = None):
         self.ts = ts
         self.labels = labels
         self.computed = computed_labels
+        # virtual labels: name -> string Column evaluated directly against
+        # source columns, skipping the derived-map construction (a mapped
+        # source otherwise re-parses/re-builds the map once per reference)
+        self.label_columns = label_columns or {}
 
     # -- public ----------------------------------------------------------
     def predicate(self, node: Node) -> Column:
@@ -159,6 +164,8 @@ class FlatCompiler:
         if isinstance(node, Const):
             return FV(const=node.value)
         if isinstance(node, LabelRef):
+            if node.name in self.label_columns:
+                return self._label(self.label_columns[node.name])
             return self._label(F.element_at(self.labels, F.lit(node.name)))
         if isinstance(node, ComputedRef):
             if self.computed is None:

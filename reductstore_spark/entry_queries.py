@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .query import QueryEngine
-from .schema import events_as_records
+from .schema import events_as_records, events_label_columns
 
 # absolute µs bounds used by the range queries (2024-01-05 .. 2024-01-12)
 T0 = 1_704_412_800_000_000
@@ -49,6 +49,12 @@ def _records(spark: SparkSession, sf_dir: str, start_us=None, stop_us=None) -> D
     return events_as_records(prep(spark), sf_dir, start_us, stop_us)
 
 
+# conditions over the events view compile against the raw source columns
+# (virtual labels) — the derived map would otherwise be rebuilt per label
+# reference
+_LC = events_label_columns
+
+
 def _entry_ts(df: DataFrame) -> DataFrame:
     return df.select("entry", "ts")
 
@@ -73,7 +79,8 @@ WHERE epoch_us(ts) >= {T0} AND epoch_us(ts) < {T1}
 def q_when_cmp(spark, sf_dir):
     """Dynamic float parse + $gt (value.rs:51-61, cmp.rs)."""
     return _entry_ts(_QE.query(_records(spark, sf_dir),
-                               when={"&value": {"$gt": 100}}, ordered=False))
+                               when={"&value": {"$gt": 100}}, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_CMP = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 100"
@@ -85,7 +92,8 @@ def q_when_logic(spark, sf_dir):
         {"$or": [{"&value": {"$gt": 150}}, {"&k": {"$lt": 10}}]},
         {"$not": [{"&user": {"$eq": 3}}]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_LOGIC = """
@@ -101,7 +109,8 @@ def q_when_arith(spark, sf_dir):
         {"$gt": [{"$add": ["&value", "&k"]}, 150]},
         {"$lte": [{"$div": ["&value", 2]}, 90]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_ARITH = """
@@ -117,7 +126,8 @@ def q_when_rem_divnum(spark, sf_dir):
         {"$eq": [{"$rem": ["&k", 7]}, 3]},
         {"$gte": [{"$div_num": ["&k", 10]}, 5]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_REM_DIVNUM = """
@@ -133,7 +143,8 @@ def q_when_string(spark, sf_dir):
         {"$contains": ["&k", "7"]},
         {"$starts_with": ["&k", "2"]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_STRING = """
@@ -149,7 +160,8 @@ def q_when_date(spark, sf_dir):
         {"$gte": [{"$hour": ["$timestamp"]}, 12]},
         {"$lte": [{"$weekday": ["$timestamp"]}, 4]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_DATE = """
@@ -161,7 +173,8 @@ WHERE hour(ts::TIMESTAMP) >= 12 AND isodow(ts::TIMESTAMP) - 1 <= 4
 def q_when_date_tz(spark, sf_dir):
     """Timezone-aware date extraction ($hour[ts, 'Europe/Berlin'])."""
     when = {"$eq": [{"$hour": ["$timestamp", "Europe/Berlin"]}, 14]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_DATE_TZ = """
@@ -176,7 +189,8 @@ def q_when_in(spark, sf_dir):
         {"$in": ["&user", 1, 2, 3, 5, 8]},
         {"$nin": ["&k", 0, 99]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_IN = """
@@ -189,7 +203,8 @@ WHERE user_id IN (1, 2, 3, 5, 8)
 def q_when_exists(spark, sf_dir):
     """$exists on a sparse label ('big' is set only when value > 100)."""
     return _entry_ts(_QE.query(_records(spark, sf_dir),
-                               when={"$exists": ["big"]}, ordered=False))
+                               when={"$exists": ["big"]}, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_EXISTS = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 100"
@@ -201,7 +216,8 @@ def q_when_cast_ref(spark, sf_dir):
         {"$gt": [{"$cast": ["&k", "float"]}, 50.0]},
         {"$lt": [{"$ref": ["user"]}, 10]},
     ]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_WHEN_CAST_REF = """
@@ -215,7 +231,8 @@ def q_each_n(spark, sf_dir):
     only for records where the preceding conjunct is truthy
     (each_n.rs:33-49 + AllOf short-circuit)."""
     when = {"$and": [{"&value": {"$gt": 50}}, {"$each_n": 3}]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_EACH_N = """
@@ -229,7 +246,8 @@ def q_limit(spark, sf_dir):
     """$limit: first N matches per entry scan, then Interrupt
     (limit.rs:31-40)."""
     when = {"$and": [{"&value": {"$gt": 20}}, {"$limit": 100}]}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_LIMIT = """
@@ -243,7 +261,8 @@ def q_ctx_padding(spark, sf_dir):
     """#ctx_before/#ctx_after record-count padding around matches
     (filters/when/ctx_before.rs, ctx_after.rs)."""
     when = {"#ctx_before": 2, "#ctx_after": 1, "&value": {"$gt": 195}}
-    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False))
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
 
 
 SQL_CTX_PADDING = """
@@ -262,7 +281,7 @@ def q_multi_entry(spark, sf_dir):
     """Multi-entry query with glob include/exclude + k-way merge order
     (bucket/query.rs:96-154, 272-282)."""
     df = _QE.query(_records(spark, sf_dir), entries=["c*", "err*", "!clique"],
-                   when={"&value": {"$lte": 20}})
+                   when={"&value": {"$lte": 20}}, label_columns=_LC())
     return df.select("entry", "ts")
 
 
@@ -275,7 +294,8 @@ WHERE event_type IN ('click', 'error') AND value <= 20
 def q_select_labels(spark, sf_dir):
     """#select_labels projection: only requested labels survive."""
     when = {"#select_labels": ["user"], "&value": {"$gt": 180}}
-    df = _QE.query(_records(spark, sf_dir), when=when, ordered=False)
+    df = _QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                   label_columns=_LC())
     return df.select(
         "entry", "ts",
         F.element_at("labels", "user").cast("long").alias("l_user"),
@@ -293,7 +313,7 @@ FROM events WHERE value > 180
 def q_count(spark, sf_dir):
     """Count query (query_count_records, remove_records.rs:163-216)."""
     spark_df = _records(spark, sf_dir)
-    n = _QE.count(spark_df, when={"&value": {"$gt": 100}})
+    n = _QE.count(spark_df, when={"&value": {"$gt": 100}}, label_columns=_LC())
     return spark.createDataFrame([(n,)], "matched bigint")
 
 
@@ -320,7 +340,7 @@ def q_update_labels(spark, sf_dir):
     """Label-update merge semantics (update_labels.rs:14-160): upsert a
     computed tier label, remove 'k', report the merged state."""
     rec = _QE.query(_records(spark, sf_dir), when={"&value": {"$gt": 190}},
-                    ordered=False)
+                    ordered=False, label_columns=_LC())
     upsert = F.create_map(
         F.lit("tier"),
         F.when(F.element_at("labels", "value").cast("double") > 195, F.lit("high"))

@@ -51,34 +51,35 @@ def plan_when(df: DataFrame, when, strict: bool = False) -> DataFrame:
 
 
 def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
-                strict: bool = False) -> DataFrame:
+                strict: bool = False, label_columns=None) -> DataFrame:
     ctx_before = directives.get("#ctx_before")
     ctx_after = directives.get("#ctx_after")
     has_ctx = ctx_before is not None or ctx_after is not None
 
     if not is_stateful(node):
         if not has_ctx:
-            out = df.where(_predicate(df, node, strict))
+            out = df.where(_predicate(df, node, strict, label_columns))
         else:
-            out = _window_ctx(df, node, directives, strict)
+            out = _window_ctx(df, node, directives, strict, label_columns)
         return _select_labels(out, directives)
 
     if not has_ctx:
-        rewritten = _rewrite_counter_conjunct(df, node, strict)
+        rewritten = _rewrite_counter_conjunct(df, node, strict, label_columns)
         if rewritten is not None:
             return _select_labels(rewritten, directives)
 
     return apply_when_stateful(df, node, directives, strict)
 
 
-def _predicate(df: DataFrame, node: Node, strict: bool):
+def _predicate(df: DataFrame, node: Node, strict: bool, label_columns=None):
     computed = "computed_labels" if "computed_labels" in df.columns else None
     if not strict:
         # flat codegen-able compiler for the common shapes (~100x faster);
         # strict mode needs error messages -> struct compiler only
         try:
             comp = F.col(computed) if computed else None
-            return FlatCompiler(F.col("ts"), F.col("labels"), comp).predicate(node)
+            return FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                                label_columns=label_columns).predicate(node)
         except Unsupported:
             pass
     return compile_predicate(node, strict=strict, computed_col=computed)
@@ -113,11 +114,13 @@ def _padding(directive: Optional[List[Value]], key: str) -> Tuple[bool, int]:
     return (v.kind == V.DURATION, val)
 
 
-def _window_ctx(df: DataFrame, node: Node, directives, strict: bool) -> DataFrame:
+def _window_ctx(df: DataFrame, node: Node, directives, strict: bool,
+                label_columns=None) -> DataFrame:
     before_dur, before = _padding(directives.get("#ctx_before"), "#ctx_before")
     after_dur, after = _padding(directives.get("#ctx_after"), "#ctx_after")
 
-    marked = df.withColumn("__match", _predicate(df, node, strict).cast("int"))
+    marked = df.withColumn(
+        "__match", _predicate(df, node, strict, label_columns).cast("int"))
     base = Window.partitionBy(*_PARTITION_COLS).orderBy("ts")
 
     # emit r iff a match exists within `before` after it OR `after` before it
@@ -137,7 +140,8 @@ def _window_ctx(df: DataFrame, node: Node, directives, strict: bool) -> DataFram
     )
 
 
-def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool) -> Optional[DataFrame]:
+def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
+                              label_columns=None) -> Optional[DataFrame]:
     """Window rewrite for a single top-level $each_n/$limit conjunct."""
     if not (isinstance(node, Op) and node.name == "$and"):
         return None
@@ -159,8 +163,10 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool) -> Option
     prefix = node.operands[:i]
     rest = node.operands[i + 1:]
 
-    pref_pred = _predicate(df, Op("$and", list(prefix)), strict) if prefix else F.lit(True)
-    rest_pred = _predicate(df, Op("$and", list(rest)), strict) if rest else F.lit(True)
+    pref_pred = (_predicate(df, Op("$and", list(prefix)), strict, label_columns)
+                 if prefix else F.lit(True))
+    rest_pred = (_predicate(df, Op("$and", list(rest)), strict, label_columns)
+                 if rest else F.lit(True))
 
     w = (Window.partitionBy(*_PARTITION_COLS).orderBy("ts")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -44,11 +44,12 @@ class QueryEngine:
         only_metadata: bool = False,
         ordered: bool = True,
         ext=None,
+        label_columns=None,
     ) -> DataFrame:
         df = self._scan(records, entries, start, stop)
         if when is not None:
             node, directives = parse_when(when)
-            df = plan_parsed(df, node, directives, strict)
+            df = plan_parsed(df, node, directives, strict, label_columns)
             if ext is None and "#ext" in directives:
                 # directive values arrive as JSON strings (parser.rs:108-125)
                 import json as _json

@@ -93,5 +93,20 @@ def events_as_records(spark: SparkSession, sf_dir: str,
             F.lit(STATE_FINISHED).alias("state"),
             F.map_filter(base_labels, lambda k, v: v.isNotNull()).alias("labels"),
             F.lit(None).cast("map<string,string>").alias("computed_labels"),
+            # raw source columns kept so conditions can compile against
+            # them directly (events_label_columns) instead of re-building
+            # the labels map per reference
+            "user_id", "value", "props",
         )
     )
+
+
+def events_label_columns():
+    """Virtual-label expressions for the events mapping — must mirror the
+    labels map construction above exactly (absent => null)."""
+    return {
+        "user": F.col("user_id").cast("string"),
+        "value": F.col("value").cast("string"),
+        "k": F.get_json_object(F.col("props"), "$.k"),
+        "big": F.when(F.col("value") > 100.0, F.lit("true")),
+    }
