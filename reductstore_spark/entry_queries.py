@@ -1134,6 +1134,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowed rolling-hash fingerprints (char 8-grams, window 4):
+    robust near-dup signatures; docs sharing a digest are near-identical."""
+    prep(spark)
+    from .operators.text import fingerprint_digest, winnow_fingerprints
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=8, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fps"),
+        fingerprint_digest(fps).alias("fp_digest"),
+    )
+
+
+SQL_WINNOW_FINGERPRINT = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    [ CAST(list_sum([ (strpos('0123456789abcdef', md5(t[i:i+7])[c:c]) - 1)
+                      * (16 ** (8 - c)) FOR c IN range(1, 9) ]) AS BIGINT)
+      FOR i IN range(1, greatest(length(t) - 7, 1) + 1) ] AS hs
+  FROM norm
+), fps AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      [ list_min(hs[j:j+3]) FOR j IN range(1, greatest(len(hs) - 3, 1) + 1) ]
+    )) AS fp
+  FROM grams
+)
+SELECT doc_id, len(fp) AS n_fps,
+  md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+FROM fps
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1181,6 +1218,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
 }
