@@ -66,8 +66,6 @@ class FV:
     flt = None  # runtime float-kind (Column/bool); None = statically int-ish
 
 
-_FALSE = None  # placeholder; use F.lit(False) at call sites
-
 
 def _err(fv: FV) -> Column:
     return fv.err if fv.err is not None else F.lit(False)

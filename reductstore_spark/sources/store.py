@@ -72,9 +72,16 @@ class RecordStore:
             return False
 
     # -- read path -------------------------------------------------------
-    def read(self) -> DataFrame:
-        """Current table state: newest version per (bucket, entry, ts)."""
+    def read(self, assume_compacted: bool = False) -> DataFrame:
+        """Current table state: newest version per (bucket, entry, ts).
+
+        The shadow-dropping window costs a shuffle; after ``compact()``
+        (or on ingest paths that never upsert) pass
+        ``assume_compacted=True`` to skip it — at scale, run compaction
+        on a schedule and read the fast path."""
         raw = self.spark.read.parquet(self.root)
+        if assume_compacted:
+            return raw.drop("__seq", "ts_day")
         w = Window.partitionBy("bucket", "entry", "ts").orderBy(F.col("__seq").desc())
         return (
             raw.withColumn("__rn", F.row_number().over(w))
