@@ -144,6 +144,52 @@ class TestWhenFilterPipeline:
         with pytest.raises(CondError):
             run_filter({"&a": {"$eq": 1}}, recs, strict=True)
 
+    # direct ports of the reference's WhenFilter goldens
+    # (filters/when.rs:131-319)
+    def test_ref_golden_ctx_before_with_limit(self):
+        # {"#ctx_before": 2, "$and": [true, "&label"], "$limit": [1]}:
+        # $limit is only evaluated when the preceding conjunct passes; the
+        # second match interrupts the scan (when.rs:164-196)
+        node, dirs = parse_when({"#ctx_before": 2,
+                                 "$and": [True, "&label"], "$limit": [1]})
+        wf = WhenFilter(node, dirs)
+        f = {"label": "false"}
+        t = {"label": "true"}
+        seq_records = [(0, f), (1, f), (2, f), (3, t), (4, t)]
+        results = []
+        for ts, labels in seq_records:
+            r = wf.feed(FilterRecord(ts, dict(labels), {}))
+            results.append(None if r is None else [rec.timestamp for rec in r])
+        assert results == [[], [], [], [1, 2, 3], None]
+
+    def test_ref_golden_ctx_before_n(self):
+        node, dirs = parse_when({"#ctx_before": 2, "$and": [True, "&label"]})
+        wf = WhenFilter(node, dirs)
+        f, t = {"label": "false"}, {"label": "true"}
+        out = []
+        for ts, labels in [(0, f), (1, f), (2, f), (3, t), (4, t)]:
+            out.append([r.timestamp for r in wf.feed(FilterRecord(ts, dict(labels), {}))])
+        assert out == [[], [], [], [1, 2, 3], [4]]
+
+    def test_ref_golden_ctx_before_duration(self):
+        # "2ms" keeps records within 2000µs inclusive (when.rs:228-252)
+        node, dirs = parse_when({"#ctx_before": "2ms", "$and": [True, "&label"]})
+        wf = WhenFilter(node, dirs)
+        out = []
+        for ts, labels in [(3000, {"label": "false"}), (4000, {"label": "false"}),
+                           (5000, {"label": "true"})]:
+            out.append([r.timestamp for r in wf.feed(FilterRecord(ts, dict(labels), {}))])
+        assert out == [[], [], [3000, 4000, 5000]]
+
+    def test_ref_golden_ctx_after_duration(self):
+        node, dirs = parse_when({"#ctx_after": "2ms", "$and": [True, "&label"]})
+        wf = WhenFilter(node, dirs)
+        out = []
+        for ts, labels in [(5000, {"label": "true"}), (6000, {"label": "false"}),
+                           (7000, {"label": "false"}), (7001, {"label": "false"})]:
+            out.append([r.timestamp for r in wf.feed(FilterRecord(ts, dict(labels), {}))])
+        assert out == [[5000], [6000], [7000], []]
+
     def test_ctx_padding_validation(self):
         with pytest.raises(CondError):
             run_filter({"#ctx_before": -1, "&v": {"$eq": 1}}, self.RECORDS)
