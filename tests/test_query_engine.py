@@ -119,6 +119,18 @@ def test_select_labels(records):
     assert recs and all(set(r["labels"].keys()) == {"flag"} for r in recs)
 
 
+def test_merge_tie_break_by_entry_name(spark):
+    """Equal timestamps across entries: smallest (ts, entry) first
+    (bucket/query.rs:272-282)."""
+    rows = [("b", e, ts, None, "", 1, {}, None)
+            for ts in (100, 200) for e in ("zeta", "alpha", "mid")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [(r["ts"], r["entry"]) for r in
+           QueryEngine().query(df).select("ts", "entry").collect()]
+    assert got == [(100, "alpha"), (100, "mid"), (100, "zeta"),
+                   (200, "alpha"), (200, "mid"), (200, "zeta")]
+
+
 def test_count_matches_query(records):
     when = {"&flag": {"$eq": True}}
     assert QE.count(records, when=when) == len(oracle(when))
