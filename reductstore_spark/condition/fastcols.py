@@ -64,6 +64,10 @@ class FV:
     err: Optional[Column] = None
     numeric_only: bool = False  # derived arithmetic: always numeric
     flt = None  # runtime float-kind (Column/bool); None = statically int-ish
+    # a runtime STRING-kind value whose text may look numeric ($add concat
+    # like "12"+"34" stays String kind, unlike label leaves where numeric
+    # text always parses to Int/Float) — disables _eq's cross-kind shortcut
+    may_numeric_str = False
 
 
 
@@ -121,9 +125,15 @@ def _display(fv: FV) -> Column:
     f_int = (~F.isnan(num)) & (num == F.floor(num)) & (F.abs(num) < 1e16)
     float_disp = F.when(f_int, num.cast("long").cast("string")).otherwise(
         num.cast("string"))
+    if fv.may_numeric_str:
+        # $add outputs: raw is non-null iff STRING kind, displayed verbatim
+        return F.coalesce(raw, float_disp)
+    # i64 Display normalizes the sign: "+42" -> "42", "-0" -> "0"
+    # (i64-overflow digit runs fall back to raw)
+    int_disp = F.coalesce(raw.try_cast("long").cast("string"), raw)
     return (
         F.when(raw.isin("true", "false"), raw)
-        .when(int_like, raw)  # i64 display == raw digits (sign normalized below)
+        .when(int_like, int_disp)
         .when(num.isNotNull(), float_disp)
         .otherwise(raw)
     )
@@ -263,11 +273,12 @@ class FlatCompiler:
         if a.const is not None:  # const vs runtime
             c = a.const
             if c.kind == V.STRING:
-                if V.parse_str_value(c.val).kind != V.STRING:
-                    # a numeric-looking string constant never equals a label
-                    # (the label would parse numeric -> cross-kind)
-                    return F.lit(False), err
                 if b.numeric_only:
+                    return F.lit(False), err
+                if V.parse_str_value(c.val).kind != V.STRING and not b.may_numeric_str:
+                    # a numeric-looking string constant never equals a label
+                    # (the label would parse numeric -> cross-kind); $add
+                    # concat outputs CAN be numeric-looking String kind
                     return F.lit(False), err
                 return F.coalesce(_is_str(b) & (b.raw == c.val), F.lit(False)), err
             # numeric constant
@@ -343,16 +354,18 @@ class FlatCompiler:
                 return FV(const=fn(a.const, b.const))
             except V.CondError:
                 return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+        if name == "$add":
+            return self._add(a, b)
         for x in (a, b):
             if x.const is not None and x.const.kind == V.STRING:
-                raise Unsupported("string constant in arithmetic")
+                # $sub/$mult/$div/$div_num/$rem on a string is always an
+                # evaluation error (values.py val_sub et al.)
+                return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
         na, nb = _num_rt(a), _num_rt(b)
         err = _arith_err(a) | _arith_err(b)
         either_flt = _is_float_kind(a) | _is_float_kind(b)
         out_flt = either_flt
-        if name == "$add":
-            num = na + nb
-        elif name == "$sub":
+        if name == "$sub":
             num = na - nb
         elif name == "$mult":
             num = na * nb
@@ -373,6 +386,19 @@ class FlatCompiler:
                 .otherwise(na % nb)
         out = FV(num=num, err=err, numeric_only=True)
         out.flt = out_flt
+        return out
+
+    def _add(self, a: FV, b: FV) -> FV:
+        """$add: concat when BOTH sides are String kind, numeric sum when
+        neither is, error on the mix (values.py val_add / reference
+        value.rs Add impl) — all kept flat/codegen-able."""
+        sa, sb = _is_str(a), _is_str(b)
+        err = _err(a) | _err(b) | (sa != sb)
+        na, nb = _num_or_null(a), _num_or_null(b)
+        raw = F.when(sa & sb, F.concat(_str_repr(a), _str_repr(b)))
+        out = FV(raw=raw, num=na + nb, err=err)
+        out.flt = _is_float_kind(a) | _is_float_kind(b)
+        out.may_numeric_str = True
         return out
 
     def _date(self, name: str, node: Op) -> FV:
@@ -408,6 +434,15 @@ class FlatCompiler:
         if target == "string":
             raise Unsupported("cast to string")  # changes kind to STRING
         return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+
+
+def _str_repr(fv: FV) -> Column:
+    """The value's text when it is String kind (null otherwise)."""
+    if fv.const is not None:
+        return F.lit(fv.const.val if fv.const.kind == V.STRING else None).cast("string")
+    if fv.raw is not None:
+        return fv.raw
+    return F.lit(None).cast("string")
 
 
 def _num_or_null(fv: FV) -> Column:

@@ -417,7 +417,11 @@ def fmt_duration(us: int) -> str:
     rest = us
     for unit, size in _DUR_FMT_UNITS:
         if abs(rest) >= size:
-            value = int(rest / size)  # truncate toward zero, keeps sign per part
+            # i64 division truncating toward zero (duration_format.rs uses
+            # pure integer ops; float division drifts above 2^53 µs)
+            value = abs(rest) // size
+            if rest < 0:
+                value = -value
             parts.append(f"{value}{unit}")
             rest -= value * size
     if not parts:

@@ -62,7 +62,10 @@ def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False) -> DataFra
             from ..plans.planner import plan_parsed
             from ..condition.parser import parse_when
             node, directives = parse_when(when)
-            df = plan_parsed(df, node, directives, strict)
+            # per-step when filters are ALWAYS strict in the reference
+            # (ext_repository.rs:140-147 builds WhenFilter with strict=true;
+            # an evaluation error fails the query, not just the record)
+            df = plan_parsed(df, node, directives, strict=True)
     return df
 
 
@@ -91,16 +94,30 @@ def _apply_one(df: DataFrame, transform) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _label_expr_factory(params):
-    """`label_expr`: compute labels from existing ones with Python
-    expressions. params: {"labels": {name: python_expr}} where the expr
-    sees ``labels`` (dict) and ``ts`` (int µs)."""
-    specs = {k: compile(v, f"<ext:{k}>", "eval")
-             for k, v in params.get("labels", {}).items()}
-    safe_builtins = {"int": int, "float": float, "str": str, "len": len,
-                     "abs": abs, "min": min, "max": max, "round": round,
-                     "bool": bool, "sum": sum}
+    """`label_expr`: compute labels from existing ones with condition-language
+    expressions. params: {"labels": {name: when_expr_json}} where each value
+    is a condition-AST expression (same JSON grammar as ``when``, e.g.
+    ``{"$mult": ["&i", 2]}``) evaluated per record over its labels.
+
+    Security note: expressions are interpreted by the condition-AST
+    evaluator — never Python ``eval`` — because ``#ext`` params arrive from
+    untrusted query JSON.  This mirrors the reference, which only dispatches
+    JSON params to pre-registered compiled extensions
+    (ext/ext_repository.rs:262-533)."""
+    from ..condition.parser import _parse_recursively
+    from ..condition.interpreter import Context, Evaluator
+    from ..condition import values as V
+
+    specs = {}
+    for k, expr in params.get("labels", {}).items():
+        nodes = _parse_recursively(expr)
+        if len(nodes) != 1:
+            raise CondError(
+                f"label_expr '{k}' must be a single condition expression")
+        specs[k] = nodes[0]
 
     def transform(batches):
+        evals = {k: Evaluator(node) for k, node in specs.items()}
         for pdf in batches:
             computed_col = []
             for i in range(len(pdf)):
@@ -108,16 +125,10 @@ def _label_expr_factory(params):
                 cj = pdf["__computed_json"].iat[i]
                 labels = json.loads(lj) if lj else {}
                 computed = dict(json.loads(cj) or {}) if cj else {}
-                env = {"labels": labels, "ts": int(pdf["ts"].iat[i])}
-                for k, code in specs.items():
+                ctx = Context(int(pdf["ts"].iat[i]), labels, computed)
+                for k, ev in evals.items():
                     try:
-                        val = eval(code, {"__builtins__": safe_builtins}, env)
-                        # label values follow the condition language's
-                        # lexical forms: booleans are lowercase
-                        if isinstance(val, bool):
-                            computed[k] = "true" if val else "false"
-                        else:
-                            computed[k] = str(val)
+                        computed[k] = V.to_display(ev.apply(ctx))
                     except Exception:
                         pass
                 computed_col.append(json.dumps(computed))

@@ -60,7 +60,10 @@ def entry_matches_pattern(entry: str, pattern: str) -> bool:
     pattern = pattern.lstrip("/")
     if "*" not in pattern:
         return entry == pattern
-    if "/" not in pattern and pattern.endswith("*") and pattern.count("*") == 1:
+    if "/" not in pattern and pattern.endswith("*"):
+        # pattern.rs strip_suffix('*') prefix rule applies to ANY no-slash
+        # pattern ending in '*': interior '*' are literal ("a*b*" requires
+        # the entry to literally start with "a*b")
         return entry.startswith(pattern[:-1])
     return _matches_from(entry.split("/"), pattern.split("/"))
 

@@ -60,6 +60,16 @@ CONDS = [
     '{"$and": []}', '{"$or": []}',
     '{"$gt": [{"$cast": ["&label", "float"]}, -100]}',
     '{"$eq": [{"$add": ["&status", "!"]}, "ok!"]}',
+    # $add string concat in the fast path (ADVICE r1: runtime string-kind
+    # labels must concat, not error) + signed-int display normalization
+    '{"$eq": [{"$add": ["&status", "&status"]}, "okok"]}',
+    '{"$eq": [{"$add": ["&status", "1"]}, "ok1"]}',
+    '{"$eq": [{"$add": ["&weird", "&status"]}, " 5ok"]}',
+    '{"$eq": [{"$add": ["&label", "&score"]}, 65.5]}',
+    '{"$contains": [{"$add": ["&status", "&status"]}, "ko"]}',
+    '{"$or": [{"$eq": [{"$add": ["&label", "&status"]}, 1]}, true]}',
+    '{"$starts_with": ["&label", "4"]}',
+    '{"$ends_with": ["&label", "2"]}',
 ]
 
 

@@ -20,14 +20,14 @@ def records(spark):
 
 def test_label_expr_computes_labels(records):
     out = apply_ext_pipeline(records, {"label_expr": {
-        "labels": {"double_i": "int(labels['i']) * 2"}}})
+        "labels": {"double_i": {"$mult": ["&i", 2]}}}})
     got = {r["ts"]: r["computed_labels"]["double_i"] for r in out.collect()}
     assert got[3000] == "6" and len(got) == 10
 
 
 def test_per_step_when_over_computed_labels(records):
     # step when references @computed label (computed_reference.rs)
-    spec = {"label_expr": {"labels": {"double_i": "int(labels['i']) * 2"}},
+    spec = {"label_expr": {"labels": {"double_i": {"$mult": ["&i", 2]}}},
             "when": {"@double_i": {"$gte": 10}}}
     out = apply_ext_pipeline(records, spec)
     assert sorted(r["ts"] for r in out.collect()) == [5000, 6000, 7000, 8000, 9000]
@@ -36,7 +36,7 @@ def test_per_step_when_over_computed_labels(records):
 def test_chained_steps(records):
     spec = [
         {"text_stats": {}},
-        {"label_expr": {"labels": {"big": "int(labels['i']) > 6"}}},
+        {"label_expr": {"labels": {"big": {"&i": {"$gt": 6}}}}},
         {"when": {"@words": {"$eq": 3}, "@big": {"$eq": True}},
          "label_expr": {"labels": {}}},
     ]
@@ -53,6 +53,14 @@ def test_ext_via_query_directive(records):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["computed_labels"]["words"] == "3" for r in rows)
+
+
+def test_label_expr_is_not_python_eval(records):
+    # a Python escape-attempt string is an inert String constant in the
+    # condition AST — never executed (no eval of query-supplied text)
+    evil = "().__class__.__bases__[0].__subclasses__()"
+    out = apply_ext_pipeline(records, {"label_expr": {"labels": {"x": evil}}})
+    assert out.collect()[0]["computed_labels"]["x"] == evil
 
 
 def test_unknown_extension_rejected(records):

@@ -148,6 +148,10 @@ class TestGlobUnit:
         assert not entry_matches_pattern("a/b/d", "a/*/c")
         assert entry_matches_pattern("abc", "a*c")
         assert not entry_matches_pattern("ab", "a*c")
+        # no-slash patterns ending in '*' are raw prefix matches with
+        # interior '*' literal (pattern.rs strip_suffix rule)
+        assert entry_matches_pattern("a*byy", "a*b*")
+        assert not entry_matches_pattern("axxbyy", "a*b*")
 
     def test_filter_entries(self):
         names = ["cam1", "cam2", "cam1/front", "x/$meta", "logs"]

@@ -161,6 +161,15 @@ def test_duration_format():
     assert fmt_duration(-1) == "-1us"
     assert fmt_duration(100_500) == "100ms 500us"
     assert fmt_duration(3_660_000_000) == "1h 1m"
+    # i64-exact above 2^53 µs: float division would drift the us term
+    big = 2**60 + 3
+    assert fmt_duration(big) == (
+        f"{big // 86_400_000_000}d "
+        f"{big % 86_400_000_000 // 3_600_000_000}h "
+        f"{big % 3_600_000_000 // 60_000_000}m "
+        f"{big % 60_000_000 // 1_000_000}s "
+        f"{big % 1_000_000 // 1_000}ms "
+        f"{big % 1_000}us")
 
 
 def test_string_escape_and_duration_constants():
