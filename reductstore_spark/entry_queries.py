@@ -257,6 +257,199 @@ SELECT entry, ts FROM (
 """
 
 
+def q_when_arith2(spark, sf_dir):
+    """$sub / $mult / $abs — the remaining arithmetic operators
+    (operators/arithmetic/*.rs; promotion rules value.rs)."""
+    when = {"$and": [
+        {"$gt": [{"$abs": [{"$sub": ["&value", 100]}]}, 50]},
+        {"$lt": [{"$mult": ["&user", 3]}, 30]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_WHEN_ARITH2 = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE abs(value - 100) > 50 AND user_id * 3 < 30
+"""
+
+
+def q_when_logic2(spark, sf_dir):
+    """$xor (exactly-one-true) + $ne (operators/logical/exactly_one_of.rs,
+    comparison/ne.rs)."""
+    when = {"$and": [
+        {"$xor": [{"&value": {"$gt": 100}}, {"&user": {"$lt": 10}}]},
+        {"$ne": ["&k", 50]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_WHEN_LOGIC2 = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE ((value > 100) != (user_id < 10))
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) != 50
+"""
+
+
+def q_when_string2(spark, sf_dir):
+    """$ends_with over the int-like k label (Display-normalized text,
+    operators/string/ends_with.rs)."""
+    when = {"$ends_with": ["&k", "7"]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_WHEN_STRING2 = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE json_extract_string(props, '$.k') LIKE '%7'
+"""
+
+
+def q_when_date2(spark, sf_dir):
+    """$second/$minute/$day/$month/$year — the full date-field family
+    (operators/date/*.rs; UTC when no timezone operand)."""
+    when = {"$and": [
+        {"$eq": [{"$year": ["$timestamp"]}, 2024]},
+        {"$eq": [{"$month": ["$timestamp"]}, 1]},
+        {"$lt": [{"$day": ["$timestamp"]}, 15]},
+        {"$eq": [{"$rem": [{"$minute": ["$timestamp"]}, 10]}, 0]},
+        {"$lt": [{"$second": ["$timestamp"]}, 30]},
+    ]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_WHEN_DATE2 = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) < 15
+  AND minute(ts) % 10 = 0 AND second(ts) < 30
+"""
+
+
+def q_ctx_padding_duration(spark, sf_dir):
+    """Duration-valued #ctx_before/#ctx_after: records within 5m before /
+    10m after each match (ctx_before.rs:60-82 RANGE semantics)."""
+    when = {"#ctx_before": "5m", "#ctx_after": "10m", "&value": {"$gt": 195}}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_CTX_PADDING_DURATION = """
+SELECT entry, ts FROM (
+  SELECT event_type AS entry, epoch_us(ts) AS ts,
+         CASE WHEN value > 195 THEN 1 ELSE 0 END AS m
+  FROM events
+) QUALIFY max(m) OVER (PARTITION BY entry ORDER BY ts
+                       RANGE BETWEEN CURRENT ROW AND 300000000 FOLLOWING) = 1
+       OR max(m) OVER (PARTITION BY entry ORDER BY ts
+                       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) = 1
+"""
+
+
+def q_strict_mode(spark, sf_dir):
+    """Strict mode end-to-end: evaluation errors raise instead of
+    excluding the record (filters/when.rs:81-95); here every label
+    resolves, so strict == non-strict on this predicate."""
+    return _entry_ts(_QE.query(_records(spark, sf_dir),
+                               when={"&value": {"$gt": 150}}, strict=True,
+                               ordered=False, label_columns=_LC()))
+
+
+SQL_STRICT_MODE = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 150"
+
+
+def q_ext_pipeline(spark, sf_dir):
+    """#ext extension pipeline as a query: label_expr computes @v2 from
+    the value label; the per-step when (strict, ext_repository.rs:140-147)
+    filters on the computed label."""
+    when = {"#ext": {
+        "label_expr": {"labels": {"v2": {"$mult": [{"$cast": ["&value", "int"]}, 2]}}},
+        "when": {"@v2": {"$gt": 300}},
+    }}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_EXT_PIPELINE = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE CAST(TRUNC(value) AS BIGINT) * 2 > 300
+"""
+
+
+def q_each_t(spark, sf_dir):
+    """$each_t time-based decimation: keep a record once >= the period has
+    elapsed since the last KEPT record, per entry (each_t.rs:36-66 — the
+    first record primes last_timestamp and is dropped for period > 0)."""
+    when = {"$each_t": "30m"}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+# DuckDB replays the stateful scan with a recursive CTE carrying
+# last_kept_ts per entry (1800000000 µs = the "30m" literal)
+SQL_EACH_T = """
+WITH RECURSIVE ordered AS (
+  SELECT event_type AS entry, epoch_us(ts) AS ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+), walk AS (
+  SELECT entry, ts, rn, ts AS last_ts, FALSE AS keep
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.entry, o.ts, o.rn,
+         CASE WHEN o.ts - w.last_ts >= 1800000000 THEN o.ts ELSE w.last_ts END,
+         o.ts - w.last_ts >= 1800000000
+  FROM walk w JOIN ordered o ON o.entry = w.entry AND o.rn = w.rn + 1
+)
+SELECT entry, ts FROM walk WHERE keep
+"""
+
+
+def q_gate(spark, sf_dir):
+    """$gate edge-triggered window with reset latch (gate.rs:78-121): a
+    rising edge of the input opens a window of the given duration; inside
+    it the gate mirrors the input; at expiry the latch forces false until
+    the input has been seen false once."""
+    when = {"$gate": ["2h", {"&value": {"$gt": 100}}]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+# recursive-CTE replay of the gate state machine per entry:
+# (deadline, prev_input, reset_latch); 7200000000 µs = the "2h" literal
+SQL_GATE = """
+WITH RECURSIVE ordered AS (
+  SELECT event_type AS entry, epoch_us(ts) AS ts, (value > 100) AS inp,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+), walk AS (
+  SELECT entry, ts, rn,
+         CASE WHEN inp THEN ts + 7200000000 END AS deadline,
+         inp AS prev, FALSE AS rst, inp AS keep
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.entry, o.ts, o.rn,
+         CASE WHEN w.rst OR (w.deadline IS NOT NULL AND o.ts >= w.deadline)
+                THEN NULL
+              WHEN w.deadline IS NULL AND NOT w.prev AND o.inp
+                THEN o.ts + 7200000000
+              ELSE w.deadline END,
+         o.inp,
+         CASE WHEN w.rst OR (w.deadline IS NOT NULL AND o.ts >= w.deadline)
+              THEN o.inp ELSE FALSE END,
+         CASE WHEN w.rst OR (w.deadline IS NOT NULL AND o.ts >= w.deadline)
+              THEN FALSE
+              ELSE COALESCE(o.inp AND o.ts <
+                   (CASE WHEN w.deadline IS NULL AND NOT w.prev AND o.inp
+                         THEN o.ts + 7200000000 ELSE w.deadline END), FALSE)
+              END
+  FROM walk w JOIN ordered o ON o.entry = w.entry AND o.rn = w.rn + 1
+)
+SELECT entry, ts FROM walk WHERE keep
+"""
+
+
 def q_ctx_padding(spark, sf_dir):
     """#ctx_before/#ctx_after record-count padding around matches
     (filters/when/ctx_before.rs, ctx_after.rs)."""
@@ -1185,12 +1378,21 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "when_string": (q_when_string, SQL_WHEN_STRING),
     "when_date": (q_when_date, SQL_WHEN_DATE),
     "when_date_tz": (q_when_date_tz, SQL_WHEN_DATE_TZ),
+    "when_arith2": (q_when_arith2, SQL_WHEN_ARITH2),
+    "when_logic2": (q_when_logic2, SQL_WHEN_LOGIC2),
+    "when_string2": (q_when_string2, SQL_WHEN_STRING2),
+    "when_date2": (q_when_date2, SQL_WHEN_DATE2),
     "when_in": (q_when_in, SQL_WHEN_IN),
     "when_exists": (q_when_exists, SQL_WHEN_EXISTS),
     "when_cast_ref": (q_when_cast_ref, SQL_WHEN_CAST_REF),
     "each_n": (q_each_n, SQL_EACH_N),
+    "each_t": (q_each_t, SQL_EACH_T),
+    "gate": (q_gate, SQL_GATE),
     "limit": (q_limit, SQL_LIMIT),
     "ctx_padding": (q_ctx_padding, SQL_CTX_PADDING),
+    "ctx_padding_duration": (q_ctx_padding_duration, SQL_CTX_PADDING_DURATION),
+    "strict_mode": (q_strict_mode, SQL_STRICT_MODE),
+    "ext_pipeline": (q_ext_pipeline, SQL_EXT_PIPELINE),
     "multi_entry": (q_multi_entry, SQL_MULTI_ENTRY),
     "select_labels": (q_select_labels, SQL_SELECT_LABELS),
     "count": (q_count, SQL_COUNT),
