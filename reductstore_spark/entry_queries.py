@@ -614,9 +614,9 @@ def q_join_topn(spark, sf_dir):
         .agg(F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
               .cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (rev.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 10).select("o_orderkey", "revenue", "rnk"))
+    from .operators.topk import global_top_k
+    return (global_top_k(rev, 10, [F.col("revenue").desc(), F.col("o_orderkey")])
+            .select("o_orderkey", "revenue", "rnk"))
 
 
 SQL_JOIN_TOPN = """
@@ -865,9 +865,8 @@ def q_sim_cosine_topk(spark, sf_dir):
         F.lit(0.0), lambda acc, x: acc + x))
     cos = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
     scored = joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 10)
+    from .operators.topk import global_top_k
+    return (global_top_k(scored, 10, [F.col("cosine").desc(), F.col("vec_id")])
             .select("vec_id", "label", "cosine", F.col("rnk").cast("int").alias("rnk")))
 
 
@@ -970,9 +969,8 @@ def q_ann_lsh(spark, sf_dir):
     scored = cands.select(
         "vec_id", "bucket",
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 5)
+    from .operators.topk import global_top_k
+    return (global_top_k(scored, 5, [F.col("cosine").desc(), F.col("vec_id")])
             .select("vec_id", "bucket", "cosine", F.col("rnk").cast("int").alias("rnk")))
 
 
@@ -1207,9 +1205,7 @@ def q_ann_ivf(spark, sf_dir):
     qcells = (assigned.where(F.col("vec_id") == 0)
               .crossJoin(F.broadcast(cents))
               .withColumn("sim", F.round(cosine(F.col("embedding"), F.col("cvec")), 9))
-              .withColumn("rn", F.row_number().over(
-                  Window.orderBy(F.col("sim").desc(), F.col("cid"))))
-              .where(F.col("rn") <= 2)
+              .orderBy(F.col("sim").desc(), F.col("cid")).limit(2)
               .select(F.col("cid").alias("probe_cell"),
                       F.col("embedding").alias("qv")))
     cands = assigned.where(F.col("vec_id") != 0).join(
@@ -1217,9 +1213,8 @@ def q_ann_ivf(spark, sf_dir):
     scored = cands.select(
         "vec_id", "label", "cell",
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 5)
+    from .operators.topk import global_top_k
+    return (global_top_k(scored, 5, [F.col("cosine").desc(), F.col("vec_id")])
             .select("vec_id", "label", "cell", "cosine",
                     F.col("rnk").cast("int").alias("rnk")))
 

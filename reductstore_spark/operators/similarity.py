@@ -57,11 +57,9 @@ def brute_force_topk(df: DataFrame, query_vec_df: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of df rows against a single query vector
     (query_vec_df: one row with column ``qv``)."""
-    from pyspark.sql import Window
+    from .topk import global_top_k
 
     joined = df.crossJoin(F.broadcast(query_vec_df))
     scored = joined.select(
         id_col, F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= k))
+    return global_top_k(scored, k, [F.col("cosine").desc(), F.col(id_col)])

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .condition.parser import parse_when
-from .operators.glob import filter_entries
+from .operators.glob import filter_entries, patterns_to_column
 from .plans.planner import plan_parsed
 from .schema import STATE_FINISHED
 
@@ -45,8 +45,9 @@ class QueryEngine:
         ordered: bool = True,
         ext=None,
         label_columns=None,
+        entry_names: Optional[Sequence[str]] = None,
     ) -> DataFrame:
-        df = self._scan(records, entries, start, stop)
+        df = self._scan(records, entries, start, stop, entry_names)
         if when is not None:
             node, directives = parse_when(when)
             df = plan_parsed(df, node, directives, strict, label_columns)
@@ -102,12 +103,20 @@ class QueryEngine:
         entries: Optional[Sequence[str]],
         start: Optional[int],
         stop: Optional[int],
+        entry_names: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         df = records
         if entries is not None:
-            names = [r["entry"] for r in df.select("entry").distinct().collect()]
-            selected = filter_entries(names, list(entries))
-            df = df.where(F.col("entry").isin(selected))
+            if entry_names is not None:
+                # registry-backed resolution (mirrors the reference's entry
+                # registry, bucket/query.rs:96-154): the small name list is
+                # already known -> tiny isin filter, prunes partitions
+                selected = filter_entries(entry_names, list(entries))
+                df = df.where(F.col("entry").isin(selected))
+            else:
+                # no registry: compile the glob to a JVM predicate — no
+                # driver round-trip / full entry-column scan per query
+                df = df.where(patterns_to_column(list(entries), F.col("entry")))
         else:
             # wildcard scan: hidden $-entries excluded (entry/system.rs),
             # JVM-side so no driver round-trip

@@ -57,11 +57,30 @@ class RecordStore:
             .write.mode("append").partitionBy(*_PARTITIONING).parquet(self.root))
 
     def _next_seq(self) -> int:
-        if not self._exists():
-            return 1
-        raw = self.spark.read.parquet(self.root)
-        mx = raw.agg(F.max("__seq")).collect()[0][0]
-        return int(mx or 0) + 1
+        """Monotonic write-batch sequence from the ``_meta/seq`` sidecar —
+        no table scan per ingest batch (shadowing only needs relative
+        order).  ``_``-prefixed paths are invisible to Spark's parquet
+        discovery.  Missing sidecar (pre-existing store): recover once
+        from max(__seq), then stay O(1).  Local-FS posix rename keeps the
+        update atomic; an object-store deployment swaps this for a
+        conditional put (same design note as rename_bucket)."""
+        meta_dir = os.path.join(self.root, "_meta")
+        seq_file = os.path.join(meta_dir, "seq")
+        try:
+            cur = int(open(seq_file).read().strip())
+        except (FileNotFoundError, ValueError):
+            if self._exists():
+                raw = self.spark.read.parquet(self.root)
+                cur = int(raw.agg(F.max("__seq")).collect()[0][0] or 0)
+            else:
+                cur = 0
+        nxt = cur + 1
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = seq_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(nxt))
+        os.replace(tmp, seq_file)
+        return nxt
 
     def _exists(self) -> bool:
         try:

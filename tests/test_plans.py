@@ -52,6 +52,27 @@ def test_agg_partial_mapside(spark, sf_dir):
     assert "l_orderkey" not in scan and "l_partkey" not in scan, scan
 
 
+@pytest.mark.parametrize("qname", ["join_topn", "sim_cosine_topk",
+                                   "ann_lsh", "ann_ivf"])
+def test_topk_is_take_ordered_not_global_window(spark, sf_dir, qname):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a single-partition row_number window
+    over the scored corpus (VERDICT r1 finding #1)."""
+    plan = plan_of(QUERIES[qname][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    # any remaining GLOBAL window (windowspec starts with an ordering, not
+    # a partition column) must sit directly on a TakeOrderedAndProject,
+    # i.e. ranks <= k rows — never the scored corpus
+    lines = [l for l in plan.split("\n")
+             if "Window [" in l or "TakeOrderedAndProject" in l]
+    for i, line in enumerate(lines):
+        if "windowspecdefinition(" not in line:
+            continue
+        first_arg = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        if "DESC" in first_arg or "ASC" in first_arg:  # global window
+            assert i + 1 < len(lines) and "TakeOrderedAndProject" in lines[i + 1], line
+
+
 def test_flat_predicate_no_python_no_hof(spark, sf_dir):
     df = QUERIES["when_in"][0](spark, sf_dir)
     plan = plan_of(df)

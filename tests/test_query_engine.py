@@ -153,6 +153,42 @@ class TestGlobUnit:
         assert entry_matches_pattern("a*byy", "a*b*")
         assert not entry_matches_pattern("axxbyy", "a*b*")
 
+    def test_regex_compilation_matches_reference_matcher(self):
+        """pattern_to_regex must agree with entry_matches_pattern on a
+        dense grid of patterns x entries (the JVM predicate path relies
+        on it)."""
+        import itertools
+        import re
+
+        from reductstore_spark.operators.glob import pattern_to_regex
+
+        segs = ["a", "b", "cam1", "x", ""]
+        entries = ["/".join(p) for n in (1, 2, 3)
+                   for p in itertools.product(["a", "b", "cam1", "x"], repeat=n)]
+        entries += ["a*byy", "axxbyy", "cam1/front/left", ""]
+        patterns = ["a", "a/*", "a/**", "**/a", "a/**/b", "*", "**", "cam*",
+                    "a*b*", "*a", "a/*/b", "**/cam1/*", "a/b", "*/*", "a*c",
+                    "c*m1/front", "**/**", "a/**/**/b"]
+        for pat, ent in itertools.product(patterns, entries):
+            from reductstore_spark.operators.glob import entry_matches_pattern
+            want = entry_matches_pattern(ent, pat)
+            got = re.fullmatch(pattern_to_regex(pat), ent) is not None
+            assert got == want, (pat, ent, got, want)
+
+    def test_patterns_to_column_matches_filter_entries(self, spark):
+        from reductstore_spark.operators.glob import patterns_to_column
+
+        names = ["cam1", "cam2", "cam1/front", "x/$meta", "logs", "a*byy",
+                 "axxbyy", "deep/nested/entry", "$hidden"]
+        df = spark.createDataFrame([(n,) for n in names], "entry string")
+        for pats in (["cam*"], ["cam*", "!cam2"], ["*"], ["x/$meta"],
+                     ["**/front", "logs"], ["a*b*"], ["*", "!cam*"],
+                     ["deep/**"], ["!cam2"]):
+            want = sorted(filter_entries(names, pats))
+            got = sorted(r["entry"] for r in
+                         df.where(patterns_to_column(pats, F.col("entry"))).collect())
+            assert got == want, (pats, got, want)
+
     def test_filter_entries(self):
         names = ["cam1", "cam2", "cam1/front", "x/$meta", "logs"]
         assert filter_entries(names, None) == ["cam1", "cam2", "cam1/front", "logs"]

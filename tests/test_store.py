@@ -50,6 +50,23 @@ def test_belated_write_lands_in_order(spark, store):
     assert ts == sorted(ts) and ts[0] == 0
 
 
+def test_seq_sidecar_no_table_scan_and_recovery(spark, store, tmp_path):
+    import os
+    store.write(spark.createDataFrame(mk_rows("e1", 3), SCHEMA))
+    store.write(spark.createDataFrame(
+        [("b1", "e1", 0, None, "", 1, {"a": "V2"}, {})], SCHEMA))
+    seq_file = os.path.join(store.root, "_meta", "seq")
+    assert int(open(seq_file).read()) == 2
+    # sidecar lost (e.g. pre-existing store): recover from max(__seq) once,
+    # shadowing order must survive
+    os.remove(seq_file)
+    store.write(spark.createDataFrame(
+        [("b1", "e1", 0, None, "", 1, {"a": "V3"}, {})], SCHEMA))
+    assert int(open(seq_file).read()) == 3
+    row = store.read().where(F.col("ts") == 0).collect()[0]
+    assert row["labels"]["a"] == "V3"
+
+
 def test_remove_query(spark, store):
     store.write(spark.createDataFrame(mk_rows("e1", 10), SCHEMA))
     qe = QueryEngine()
