@@ -27,6 +27,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from reductstore_spark.caching import release_caches
     from reductstore_spark.entry_queries import QUERIES, prep
     from reductstore_spark.session import get_session
 
@@ -41,6 +42,7 @@ def main() -> None:
     for name, (fn, _sql) in QUERIES.items():
         df = fn(spark, sf_dir)
         df.agg(F.sum(F.xxhash64(*df.columns))).collect()
+        release_caches()
     spark.catalog.clearCache()
 
     timings = {}
@@ -54,6 +56,7 @@ def main() -> None:
             df.agg(F.sum(F.xxhash64(*df.columns))).collect()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            release_caches()
         timings[name] = round(best, 4)
         total += best
 

@@ -139,10 +139,29 @@ def _display(fv: FV) -> Column:
     )
 
 
+def label_parts(raw: Column):
+    """(num, flt) derivation of a raw label string — the dynamic-parse
+    rules of value.rs:51-61 as flat Columns.  Factored out so the planner
+    can bind them ONCE per referenced label in a projection below the
+    filter: every leaf reference in the predicate then compiles to an
+    attribute read instead of re-expanding this tree (whose repeated
+    inlining is what pushed generated methods past Janino's 64 KB limit)."""
+    is_bool = raw.isin("true", "false")
+    numeric = raw.rlike(_NUM_RE) | F.lower(raw).isin(*_FLOAT_SPECIAL)
+    num = (
+        F.when(is_bool, (raw == "true").cast("double"))
+        .when(numeric, raw.try_cast("double"))
+    )
+    flt = numeric & ~is_bool & ~raw.rlike(_INT_RE)
+    return num, flt
+
+
 class FlatCompiler:
     def __init__(self, ts: Column, labels: Column,
                  computed_labels: Optional[Column] = None,
-                 label_columns: Optional[dict] = None):
+                 label_columns: Optional[dict] = None,
+                 label_fvs: Optional[dict] = None,
+                 computed_fvs: Optional[dict] = None):
         self.ts = ts
         self.labels = labels
         self.computed = computed_labels
@@ -150,6 +169,10 @@ class FlatCompiler:
         # source columns, skipping the derived-map construction (a mapped
         # source otherwise re-parses/re-builds the map once per reference)
         self.label_columns = label_columns or {}
+        # pre-bound leaves: name -> (raw, num, flt) attribute Columns the
+        # planner materialized below the filter (see label_parts)
+        self.label_fvs = label_fvs or {}
+        self.computed_fvs = computed_fvs or {}
 
     # -- public ----------------------------------------------------------
     def predicate(self, node: Node) -> Column:
@@ -158,24 +181,29 @@ class FlatCompiler:
 
     # -- leaves ----------------------------------------------------------
     def _label(self, raw: Column) -> FV:
-        is_bool = raw.isin("true", "false")
-        numeric = raw.rlike(_NUM_RE) | F.lower(raw).isin(*_FLOAT_SPECIAL)
-        num = (
-            F.when(is_bool, (raw == "true").cast("double"))
-            .when(numeric, raw.try_cast("double"))
-        )
+        num, flt = label_parts(raw)
         fv = FV(raw=raw, num=num, err=raw.isNull())
-        fv.flt = numeric & ~is_bool & ~raw.rlike(_INT_RE)
+        fv.flt = flt
+        return fv
+
+    def _bound(self, parts) -> FV:
+        raw, num, flt = parts
+        fv = FV(raw=raw, num=num, err=raw.isNull())
+        fv.flt = flt
         return fv
 
     def compile(self, node: Node) -> FV:
         if isinstance(node, Const):
             return FV(const=node.value)
         if isinstance(node, LabelRef):
+            if node.name in self.label_fvs:
+                return self._bound(self.label_fvs[node.name])
             if node.name in self.label_columns:
                 return self._label(self.label_columns[node.name])
             return self._label(F.element_at(self.labels, F.lit(node.name)))
         if isinstance(node, ComputedRef):
+            if node.name in self.computed_fvs:
+                return self._bound(self.computed_fvs[node.name])
             if self.computed is None:
                 return FV(const=None, raw=F.lit(None).cast("string"),
                           num=F.lit(None).cast("double"), err=F.lit(True))
@@ -249,18 +277,36 @@ class FlatCompiler:
 
     def _logical(self, name: str, ops: List[FV]) -> FV:
         """Short-circuit error fold: an operand's error counts only if no
-        earlier operand decided the result (all_of.rs/any_of.rs)."""
+        earlier operand decided the result (all_of.rs/any_of.rs).
+
+        Written FLAT: per operand, ok_i (decides-pass), stop_i
+        (decides-the-result the short way), err_i; the scan is "active"
+        at i iff every earlier operand passed.  Expression size is then
+        O(n^2/2) in operand count — a recursive
+        ``when(f(val), ...).otherwise(val)`` fold embeds the accumulated
+        tree ~3x per level (3^n growth), which is what pushed generated
+        methods past Janino's 64 KB limit on conditions whose operands
+        are themselves large trees (e.g. five date extractions)."""
         if not ops:
             base = name in ("$and", "$not")
             return FV(const=V.vbool(base))
         conj = name == "$and"
-        val = F.lit(conj)
+        # per-operand decision flags (null-safe: null -> not decided)
+        t = [F.coalesce(_truthy(x), F.lit(False)) for x in ops]
+        e = [F.coalesce(_err(x), F.lit(False)) for x in ops]
+        ok = [(ti if conj else ~ti) & ~ei for ti, ei in zip(t, e)]
+        stop = [(~ti if conj else ti) & ~ei for ti, ei in zip(t, e)]
+        prefix = F.lit(True)   # all earlier operands passed, no err/stop
         err = F.lit(False)
-        for x in ops:
-            active = (val if conj else ~val) & ~err
-            err = err | (active & _err(x))
-            step = _truthy(x) & ~_err(x)
-            val = F.when(active & ~_err(x), step).otherwise(val)
+        stopped = F.lit(False)
+        for ok_i, stop_i, e_i in zip(ok, stop, e):
+            err = err | (prefix & e_i)
+            stopped = stopped | (prefix & stop_i)
+            prefix = prefix & ok_i
+        # $and: true unless some active operand was false ($or dual);
+        # an operand erroring first leaves val at its pre-error value,
+        # matching the reference's frozen accumulator
+        val = ~stopped if conj else stopped
         out = val if name in ("$and", "$or") else ~val
         return FV(num=out.cast("double"), err=err, numeric_only=True)
 

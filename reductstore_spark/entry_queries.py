@@ -207,7 +207,20 @@ def q_when_exists(spark, sf_dir):
                                label_columns=_LC()))
 
 
-SQL_WHEN_EXISTS = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 100"
+# the oracle rebuilds the labels map with the same null-dropping rule and
+# tests KEY MEMBERSHIP — not the generating predicate — so a regression in
+# $exists/map_filter semantics can't hide behind the data-gen invariant
+SQL_WHEN_EXISTS = """
+WITH lab AS (
+  SELECT event_type, ts,
+    map_from_entries(list_filter(
+      [{'key': 'big', 'value': CASE WHEN value > 100 THEN 'true' END},
+       {'key': 'user', 'value': CAST(user_id AS VARCHAR)}],
+      x -> x."value" IS NOT NULL)) AS labels
+  FROM events)
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM lab
+WHERE len(map_extract(labels, 'big')) > 0
+"""
 
 
 def q_when_cast_ref(spark, sf_dir):
@@ -485,8 +498,10 @@ WHERE event_type IN ('click', 'error') AND value <= 20
 
 
 def q_select_labels(spark, sf_dir):
-    """#select_labels projection: only requested labels survive."""
-    when = {"#select_labels": ["user"], "&value": {"$gt": 180}}
+    """#select_labels projection: only requested labels survive; 'big' is
+    sparse so the surviving map size varies (1 or 2) — the oracle computes
+    it from a SQL-built label map, pinning the projection semantics."""
+    when = {"#select_labels": ["user", "big"], "&value": {"$gt": 180}}
     df = _QE.query(_records(spark, sf_dir), when=when, ordered=False,
                    label_columns=_LC())
     return df.select(
@@ -497,9 +512,16 @@ def q_select_labels(spark, sf_dir):
 
 
 SQL_SELECT_LABELS = """
+WITH lab AS (
+  SELECT event_type, ts, user_id,
+    map_from_entries(list_filter(
+      [{'key': 'user', 'value': CAST(user_id AS VARCHAR)},
+       {'key': 'big', 'value': CASE WHEN value > 100 THEN 'true' END}],
+      x -> x."value" IS NOT NULL)) AS sel
+  FROM events WHERE value > 180)
 SELECT event_type AS entry, epoch_us(ts) AS ts, user_id AS l_user,
-       1 AS n_labels
-FROM events WHERE value > 180
+       len(map_keys(sel)) AS n_labels
+FROM lab
 """
 
 
@@ -1036,6 +1058,9 @@ FROM embeddings GROUP BY label
 """
 
 
+NGRAM_BLOCK_CAP = 256
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup pairs with word-count blocking (exact
     within blocks; shuffles only block keys, never all pairs)."""
@@ -1049,11 +1074,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     block = F.md5(F.concat_ws(
         "|", F.size(words).cast("string"),
         F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(words)), 1, 3))))
-    sh = docs.select(
+    from .caching import persist_tracked
+    sh = persist_tracked(docs.select(
         F.col("doc_id").alias("id"),
         word_shingles(F.col("text"), 2).alias("sh"),
         block.alias("blk"),
-    ).persist()  # referenced by both join sides — compute shingles once
+    ))  # referenced by both join sides — compute shingles once
+    # templated corpora can collapse into one huge block and square the
+    # verify; blocks beyond the cap are skipped deterministically (the
+    # oracle applies the same rule).  The oversized list is <= n/cap rows,
+    # so AQE broadcasts the anti-join at any realistic scale.
+    oversized = (sh.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
+                 .where(F.col("__bn") > NGRAM_BLOCK_CAP).select("blk"))
+    sh = sh.join(oversized, "blk", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     cand = a.join(b, (F.col("a.blk") == F.col("b.blk"))
                   & (F.col("a.id") < F.col("b.id")))
@@ -1075,11 +1108,15 @@ WITH sh AS (
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
         FROM documents)
 )
+, capped AS (
+  SELECT * FROM sh WHERE blk IN (
+    SELECT blk FROM sh GROUP BY blk HAVING count(*) <= 256)
+)
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.id AS id_a, b.id AS id_b,
     round(len(list_intersect(a.sh, b.sh))::DOUBLE /
           len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+  FROM capped a JOIN capped b ON a.blk = b.blk AND a.id < b.id
 ) WHERE jaccard >= 0.8
 """
 

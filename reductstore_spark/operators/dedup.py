@@ -20,6 +20,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 
 def normalized_words(text: Column) -> Column:
     """lower + whitespace-collapse + split — the canonical token stream."""
@@ -134,8 +136,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # the candidate set is tiny and referenced three times below (two id
-    # branches + verification) — persist so the signature pipeline runs once
-    cand = cand.persist()
+    # branches + verification) — persist so the signature pipeline runs
+    # once; tracked so session owners can release it after materializing
+    cand = persist_tracked(cand)
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))).distinct()
     shingle_sets = (

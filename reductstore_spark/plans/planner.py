@@ -30,9 +30,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..condition import values as V
-from ..condition.ast import Const, Node, Op, is_stateful
+from ..condition.ast import ComputedRef, Const, LabelRef, Node, Op, is_stateful
 from ..condition.columns import ColumnCompiler, compile_predicate
-from ..condition.fastcols import FlatCompiler, Unsupported
+from ..condition.fastcols import FlatCompiler, Unsupported, label_parts
 from ..condition.parser import parse_when
 from ..condition.values import CondError, Value
 from ..operators.stateful import apply_when_stateful
@@ -58,7 +58,10 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
 
     if not is_stateful(node):
         if not has_ctx:
-            out = df.where(_predicate(df, node, strict, label_columns))
+            df2, pred, added = _bound_or_struct(df, node, strict, label_columns)
+            out = df2.where(pred)
+            if added:
+                out = out.drop(*added)
         else:
             out = _window_ctx(df, node, directives, strict, label_columns)
         return _select_labels(out, directives)
@@ -83,6 +86,101 @@ def _predicate(df: DataFrame, node: Node, strict: bool, label_columns=None):
         except Unsupported:
             pass
     return compile_predicate(node, strict=strict, computed_col=computed)
+
+
+def _collect_refs(node: Node, labels=None, computed=None):
+    """Distinct &label / @computed names referenced by the AST."""
+    if labels is None:
+        labels, computed = set(), set()
+    if isinstance(node, LabelRef):
+        labels.add(node.name)
+    elif isinstance(node, ComputedRef):
+        computed.add(node.name)
+    elif isinstance(node, Op):
+        for o in node.operands:
+            _collect_refs(o, labels, computed)
+    return labels, computed
+
+
+def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None):
+    """Compile ``nodes`` with the flat compiler over PRE-BOUND leaves.
+
+    Every distinct referenced label gets its (raw, num, flt) derivation
+    materialized once in a projection; predicates then reference those
+    attributes, keeping generated methods small (a condition tree embeds
+    each operand a constant number of times per level — with full leaf
+    derivations inlined at every reference, whole-stage codegen blew past
+    Janino's 64 KB method limit; see BENCH_r01 tail).
+
+    The projection carries a non-deterministic dummy column as a
+    predicate-pushdown barrier: PushPredicateThroughNonJoin would inline
+    the aliases once per reference and re-explode the expression.  The
+    time-range / state / entry filters are applied BELOW this projection
+    (query.py _scan), so Parquet pushdown and partition pruning are
+    unaffected; `when` label predicates never reach the scan anyway
+    (map lookups / JSON extraction aren't pushable).
+
+    Returns (bound_df, [predicate Column per node], added_col_names);
+    raises Unsupported if any node is outside the flat subset.
+    """
+    computed_col = "computed_labels" if "computed_labels" in df.columns else None
+    label_columns = label_columns or {}
+    lnames, cnames = set(), set()
+    for n in nodes:
+        _collect_refs(n, lnames, cnames)
+
+    adds = []          # (alias, Column)
+    label_fvs = {}
+    computed_fvs = {}
+
+    def bind(name, raw, prefix, i):
+        ra, nu, fl = f"__{prefix}r{i}", f"__{prefix}n{i}", f"__{prefix}f{i}"
+        num, flt = label_parts(raw)
+        adds.extend([(ra, raw), (nu, num), (fl, flt)])
+        return (F.col(ra), F.col(nu), F.col(fl))
+
+    for i, name in enumerate(sorted(lnames)):
+        raw = (label_columns[name] if name in label_columns
+               else F.element_at(F.col("labels"), F.lit(name)))
+        label_fvs[name] = bind(name, raw, "lb", i)
+    if computed_col:
+        for i, name in enumerate(sorted(cnames)):
+            raw = F.element_at(F.col(computed_col), F.lit(name))
+            computed_fvs[name] = bind(name, raw, "cb", i)
+
+    comp = F.col(computed_col) if computed_col else None
+    compiler = FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                            label_columns=label_columns,
+                            label_fvs=label_fvs, computed_fvs=computed_fvs)
+    preds = [compiler.predicate(n) for n in nodes]  # may raise Unsupported
+
+    if not adds:
+        return df, preds, []
+    bound = df.select(
+        "*", *[c.alias(a) for a, c in adds],
+        F.monotonically_increasing_id().alias("__lb_barrier"))
+    # the barrier only works if (a) a project field is nondeterministic —
+    # PushPredicateThroughNonJoin skips such projects entirely — and (b)
+    # the predicate references it, or ColumnPruning strips the field and
+    # re-enables the push.  OR-ing an always-false comparison on the
+    # nondeterministic id satisfies (b) without changing any result.
+    never = F.col("__lb_barrier") < F.lit(-1)
+    preds = [p | never for p in preds]
+    return bound, preds, [a for a, _ in adds] + ["__lb_barrier"]
+
+
+def _bound_or_struct(df: DataFrame, node: Node, strict: bool,
+                     label_columns=None):
+    """(df2, predicate, added_cols): flat compiler over bound leaves when
+    possible, struct compiler otherwise (strict mode / unsupported shapes)."""
+    if not strict:
+        try:
+            bound, preds, added = _flat_bound(df, [node], label_columns)
+            return bound, preds[0], added
+        except Unsupported:
+            pass
+    computed = "computed_labels" if "computed_labels" in df.columns else None
+    return df, compile_predicate(node, strict=strict, computed_col=computed), []
 
 
 def _select_labels(df: DataFrame, directives: Dict[str, List[Value]]) -> DataFrame:
@@ -119,8 +217,8 @@ def _window_ctx(df: DataFrame, node: Node, directives, strict: bool,
     before_dur, before = _padding(directives.get("#ctx_before"), "#ctx_before")
     after_dur, after = _padding(directives.get("#ctx_after"), "#ctx_after")
 
-    marked = df.withColumn(
-        "__match", _predicate(df, node, strict, label_columns).cast("int"))
+    df2, pred, added = _bound_or_struct(df, node, strict, label_columns)
+    marked = df2.withColumn("__match", pred.cast("int"))
     base = Window.partitionBy(*_PARTITION_COLS).orderBy("ts")
 
     # emit r iff a match exists within `before` after it OR `after` before it
@@ -136,7 +234,7 @@ def _window_ctx(df: DataFrame, node: Node, directives, strict: bool,
     keep = (F.max("__match").over(w_b) == 1) | (F.max("__match").over(w_a) == 1)
     return (
         marked.withColumn("__keep", keep)
-        .where(F.col("__keep")).drop("__match", "__keep")
+        .where(F.col("__keep")).drop("__match", "__keep", *added)
     )
 
 
@@ -163,10 +261,21 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
     prefix = node.operands[:i]
     rest = node.operands[i + 1:]
 
-    pref_pred = (_predicate(df, Op("$and", list(prefix)), strict, label_columns)
-                 if prefix else F.lit(True))
-    rest_pred = (_predicate(df, Op("$and", list(rest)), strict, label_columns)
-                 if rest else F.lit(True))
+    pref_node = Op("$and", list(prefix))
+    rest_node = Op("$and", list(rest))
+    added = []
+    if not strict:
+        try:
+            df, (pref_pred, rest_pred), added = _flat_bound(
+                df, [pref_node, rest_node], label_columns)
+        except Unsupported:
+            pref_pred = rest_pred = None
+    else:
+        pref_pred = rest_pred = None
+    if pref_pred is None:
+        computed = "computed_labels" if "computed_labels" in df.columns else None
+        pref_pred = compile_predicate(pref_node, strict=strict, computed_col=computed)
+        rest_pred = compile_predicate(rest_node, strict=strict, computed_col=computed)
 
     w = (Window.partitionBy(*_PARTITION_COLS).orderBy("ts")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -179,5 +288,5 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
     return (
         marked.withColumn("__sf", sf_pass)
         .where(F.col("__pref") & F.col("__sf") & rest_pred)
-        .drop("__pref", "__sf")
+        .drop("__pref", "__sf", *added)
     )

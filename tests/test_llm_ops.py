@@ -106,3 +106,17 @@ def test_media_meta_and_frames(docs):
     rows = frames.collect()
     assert len(rows) >= 4
     assert {r["frame_idx"] for r in rows} == {0}  # tiny payloads: 1 frame each
+
+
+def test_release_caches_leaves_no_retained_rdds(spark, docs):
+    """Session-reuse hygiene: queries that persist intermediates must not
+    leak storage across queries — release_caches() drops every tracked
+    cache (a long-lived serving/bench session would otherwise accumulate
+    one candidate cache per dedup query)."""
+    from reductstore_spark.caching import release_caches
+
+    minhash_lsh_pairs(docs, shingle_k=3, threshold=0.4).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0  # cache was actually used
+    assert release_caches() >= 1
+    assert jsc.getPersistentRDDs().size() == 0
