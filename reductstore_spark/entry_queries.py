@@ -1361,16 +1361,18 @@ FROM events GROUP BY 1, 2
 
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowed rolling-hash fingerprints (char 8-grams, window 4):
-    robust near-dup signatures; docs sharing a digest are near-identical."""
+    robust near-dup signatures; docs sharing a digest are near-identical.
+
+    Served by the vectorized mapInPandas stage (hashlib md5 + numpy
+    rolling min) — the pure-Column version (operators/text.py
+    winnow_fingerprints) is pinned bit-identical by a test and kept as
+    the in-repo oracle; nested HOF lambdas there evaluate interpreted
+    per element, ~5x the constant of this path."""
     prep(spark)
-    from .operators.text import fingerprint_digest, winnow_fingerprints
+    from .operators.text import winnow_digests_pandas
     docs = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(F.col("text"), k=8, w=4)
-    return docs.select(
-        "doc_id",
-        F.size(fps).cast("bigint").alias("n_fps"),
-        fingerprint_digest(fps).alias("fp_digest"),
-    )
+    return winnow_digests_pandas(docs, id_col="doc_id", text_col="text",
+                                 k=8, w=4)
 
 
 SQL_WINNOW_FINGERPRINT = r"""

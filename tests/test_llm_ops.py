@@ -120,3 +120,32 @@ def test_release_caches_leaves_no_retained_rdds(spark, docs):
     assert jsc.getPersistentRDDs().size() > 0  # cache was actually used
     assert release_caches() >= 1
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_winnow_pandas_matches_column_version(spark, sf_dir):
+    """The vectorized mapInPandas winnowing stage must be bit-identical to
+    the pure-Column oracle (same grams, window mins, digest) on the real
+    corpus plus the short/empty/whitespace edge shapes."""
+    from reductstore_spark.operators.text import (
+        fingerprint_digest,
+        winnow_digests_pandas,
+        winnow_fingerprints,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    edges = spark.createDataFrame(
+        [(10_001, ""), (10_002, "ab"), (10_003, "exactly8!"),
+         (10_004, "  many   spaces\tand\nnewlines  "),
+         (10_005, "MiXeD Case UPPER lower 1234567890"),
+         (10_006, "x" * 7), (10_007, "y" * 8), (10_008, "z" * 12)],
+        "doc_id long, text string")
+    docs = corpus.union(edges)
+
+    fps = winnow_fingerprints(F.col("text"), k=8, w=4)
+    want = {r["doc_id"]: (r["n_fps"], r["fp_digest"]) for r in docs.select(
+        "doc_id", F.size(fps).cast("bigint").alias("n_fps"),
+        fingerprint_digest(fps).alias("fp_digest")).collect()}
+    got = {r["doc_id"]: (r["n_fps"], r["fp_digest"])
+           for r in winnow_digests_pandas(docs).collect()}
+    assert got == want
