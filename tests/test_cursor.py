@@ -1,0 +1,148 @@
+"""Query-cursor serving shim: id monotonicity, TTL expiry, batch paging.
+
+Mirrors the reference's integration_tests/api/entry_api/query_test.py
+(test_query_entry_ok / _next / _ttl) and the entry.rs unit test
+keep_finished_query_until_ttl, with an injected clock instead of sleeps.
+"""
+
+import pytest
+
+from reductstore_spark.functions.cursor import (
+    IoSettings,
+    NoContent,
+    QueryNotFound,
+    QueryRegistry,
+)
+from reductstore_spark.schema import RECORDS_SCHEMA, STATE_FINISHED
+
+
+def _records(spark, n=3, payload=b"some_data"):
+    rows = [
+        ("b", "entry", 1000 + 100 * i, bytearray(payload), "text/plain",
+         STATE_FINISHED, {"k": f"v{i}"}, {"score": str(i)})
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, RECORDS_SCHEMA).coalesce(1).orderBy("ts")
+
+
+class Clock:
+    def __init__(self):
+        self.now = 0.0
+
+    def __call__(self):
+        return self.now
+
+
+def test_query_ids_increment(spark):
+    reg = QueryRegistry()
+    df = _records(spark, 1)
+    ids = [reg.register(df) for _ in range(3)]
+    assert ids == sorted(ids) and len(set(ids)) == 3
+    assert ids[0] >= 1  # 0 is reserved (query.rs:34)
+
+
+def test_fetch_record_sequence_then_no_content(spark):
+    """test_query_entry_next: records stream in ts order, then 204 —
+    repeatedly, since a drained handle survives until TTL."""
+    reg = QueryRegistry()
+    qid = reg.register(_records(spark, 3))
+    seen = []
+    for _ in range(3):
+        rec, payload = reg.fetch_record(qid)
+        assert payload == b"some_data"
+        assert rec.header.labels["k"].startswith("v")
+        assert rec.header.labels["@score"] == rec.header.labels["k"][1:]
+        seen.append(rec.timestamp)
+    assert seen == [1000, 1100, 1200]
+    for _ in range(2):
+        with pytest.raises(NoContent):
+            reg.fetch_record(qid)
+    assert len(reg) == 1  # still registered (keep_finished_query_until_ttl)
+
+
+def test_zero_ttl_expires_immediately(spark):
+    """test_query_ttl: ttl=0 means the first fetch already 404s."""
+    clock = Clock()
+    reg = QueryRegistry(clock=clock)
+    qid = reg.register(_records(spark, 1), ttl=0)
+    with pytest.raises(QueryNotFound):
+        reg.fetch_record(qid)
+    assert len(reg) == 0
+
+
+def test_ttl_expiry_and_refresh(spark):
+    clock = Clock()
+    reg = QueryRegistry(clock=clock)
+    qid = reg.register(_records(spark, 3), ttl=10.0)
+
+    clock.now = 9.0
+    reg.fetch_record(qid)          # refreshes last_access
+    clock.now = 18.0               # 9s since last access: alive
+    reg.fetch_record(qid)
+    clock.now = 28.5               # 10.5s idle: expired
+    with pytest.raises(QueryNotFound):
+        reg.fetch_record(qid)
+    assert len(reg) == 0
+
+
+def test_drained_handle_kept_until_ttl(spark):
+    """keep_finished_query_until_ttl (entry.rs:805-855): a finished query
+    answers 204 until the TTL lapses, 404 after."""
+    clock = Clock()
+    reg = QueryRegistry(clock=clock)
+    qid = reg.register(_records(spark, 1), ttl=1.0)
+    reg.fetch_record(qid)
+    clock.now = 0.5
+    with pytest.raises(NoContent):
+        reg.fetch_record(qid)
+    clock.now = 2.0
+    with pytest.raises(QueryNotFound):
+        reg.fetch_record(qid)
+
+
+def test_batch_paging_record_limit(spark):
+    reg = QueryRegistry()
+    io = IoSettings(batch_max_records=2)
+    qid = reg.register(_records(spark, 5), io=io)
+
+    headers, payloads, last = reg.fetch_batch(qid)
+    assert len(payloads) == 2 and not last
+    assert set(headers) == {"x-reduct-time-1000", "x-reduct-time-1100"}
+    assert headers["x-reduct-time-1000"].startswith("9, text/plain")
+
+    _, payloads, last = reg.fetch_batch(qid)
+    assert len(payloads) == 2 and not last
+
+    _, payloads, last = reg.fetch_batch(qid)
+    assert len(payloads) == 1 and last  # drained inside this page
+
+    with pytest.raises(NoContent):
+        reg.fetch_batch(qid)
+
+
+def test_batch_paging_body_size_limit(spark):
+    """Limits are checked AFTER appending (read_batched.rs:186-194): the
+    record that trips batch_max_size stays in the page."""
+    reg = QueryRegistry()
+    io = IoSettings(batch_max_size=10)  # each payload is 9 bytes
+    qid = reg.register(_records(spark, 3), io=io)
+    _, payloads, last = reg.fetch_batch(qid)
+    assert len(payloads) == 2 and not last  # 9 ok, 18 > 10 trips after append
+    _, payloads, last = reg.fetch_batch(qid)
+    assert len(payloads) == 1 and last
+
+
+def test_batch_head_only_ignores_body_limit(spark):
+    reg = QueryRegistry()
+    io = IoSettings(batch_max_size=1)
+    qid = reg.register(_records(spark, 3), io=io)
+    headers, payloads, last = reg.fetch_batch(qid, head_only=True)
+    assert len(payloads) == 3 and last
+
+
+def test_batch_metadata_size_limit(spark):
+    reg = QueryRegistry()
+    io = IoSettings(batch_max_metadata_size=40)  # one header is ~45 bytes
+    qid = reg.register(_records(spark, 3), io=io)
+    _, payloads, last = reg.fetch_batch(qid)
+    assert len(payloads) == 1 and not last
