@@ -44,6 +44,11 @@ class QueryError(Exception):
     status = 500
 
 
+class UnprocessableEntity(QueryError):
+    """422 — malformed #batch_* directive value (io_cfg.rs errors)."""
+    status = 422
+
+
 class QueryNotFound(QueryError):
     """404 — unknown or TTL-expired query id."""
     status = 404
@@ -52,6 +57,98 @@ class QueryNotFound(QueryError):
 class NoContent(QueryError):
     """204 — the cursor is drained (read_batched.rs:207)."""
     status = 204
+
+
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "kb": 1000, "mb": 1000**2, "gb": 1000**3, "tb": 1000**4, "pb": 1000**5,
+    "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4,
+    "pib": 1024**5,
+}
+
+
+def _parse_size(directive: str, values, default: int) -> int:
+    """Single int, or a ByteSize string like '1MB'/'4KiB' (decimal SI vs
+    binary units, case-insensitive — bytesize::ByteSize::from_str)."""
+    if values is None:
+        return default
+    if len(values) != 1:
+        raise UnprocessableEntity(
+            f"{directive} must be a single integer or string value")
+    from ..condition import values as V
+    v = values[0]
+    if v.kind == V.INT and v.val >= 0:
+        return int(v.val)
+    if v.kind == V.STRING:
+        import re
+        m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]*)\s*", v.val)
+        unit = _SIZE_UNITS.get(m.group(2).lower()) if m else None
+        if unit is None:
+            raise UnprocessableEntity(
+                f"{directive} must be a positive integer or string")
+        return int(float(m.group(1)) * unit)
+    raise UnprocessableEntity(
+        f"{directive} must be a positive integer or string "
+        "representing a positive integer")
+
+
+def _parse_duration_s(directive: str, values, default: float) -> float:
+    """Bare ints are SECONDS, duration literals ('15ms') are exact µs
+    (io_cfg.rs parse_duration)."""
+    if values is None:
+        return default
+    if len(values) != 1:
+        raise UnprocessableEntity(
+            f"{directive} must be a single integer or duration value")
+    from ..condition import values as V
+    v = values[0]
+    if v.kind == V.INT and v.val >= 0:
+        return float(v.val)
+    if v.kind == V.DURATION and v.val >= 0:
+        return v.val / 1e6
+    raise UnprocessableEntity(
+        f"{directive} must be a positive integer or duration")
+
+
+def _parse_number(directive: str, values, default: int) -> int:
+    if values is None:
+        return default
+    if len(values) != 1:
+        raise UnprocessableEntity(
+            f"{directive} must be a single integer value")
+    from ..condition import values as V
+    v = values[0]
+    if v.kind == V.INT and v.val >= 0:
+        return int(v.val)
+    raise UnprocessableEntity(f"{directive} must be a positive integer")
+
+
+def io_settings_from_directives(directives,
+                                default: Optional[IoSettings] = None,
+                                ) -> IoSettings:
+    """Merge a query's ``#batch_*`` transport directives over the process
+    defaults (filters/when/io_cfg.rs merge_io_config_from_directives):
+    ``#batch_size``/``#batch_metadata_size`` accept ints or ByteSize
+    strings, ``#batch_timeout`` ints-as-seconds or duration literals,
+    ``#batch_records`` a plain count.  ``#record_timeout``/``#io_timeout``
+    are parsed for validation parity but have no Spark-side effect (the
+    iterator has no per-record channel recv to time out)."""
+    d = default or IoSettings()
+    g = directives.get
+    out = IoSettings(
+        batch_max_size=_parse_size(
+            "#batch_size", g("#batch_size"), d.batch_max_size),
+        batch_max_records=_parse_number(
+            "#batch_records", g("#batch_records"), d.batch_max_records),
+        batch_max_metadata_size=_parse_size(
+            "#batch_metadata_size", g("#batch_metadata_size"),
+            d.batch_max_metadata_size),
+        batch_timeout_s=_parse_duration_s(
+            "#batch_timeout", g("#batch_timeout"), d.batch_timeout_s),
+    )
+    _parse_duration_s("#record_timeout", g("#record_timeout"), 1.0)
+    _parse_duration_s("#io_timeout", g("#io_timeout"), 1.0)
+    return out
 
 
 _id_lock = threading.Lock()

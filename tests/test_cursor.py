@@ -146,3 +146,55 @@ def test_batch_metadata_size_limit(spark):
     qid = reg.register(_records(spark, 3), io=io)
     _, payloads, last = reg.fetch_batch(qid)
     assert len(payloads) == 1 and not last
+
+
+def test_io_settings_from_directives():
+    """Mirrors io_cfg.rs test_merge_io_config_from_directives: ints pass
+    through, '15ms' is an exact duration, '1MB' is decimal-SI bytes."""
+    from reductstore_spark.condition.parser import parse_when
+    from reductstore_spark.functions.cursor import io_settings_from_directives
+
+    _, dirs = parse_when({
+        "#batch_size": 2048,
+        "#batch_timeout": "15ms",
+        "#batch_records": 100,
+        "#batch_metadata_size": "1MB",
+        "#io_timeout": 30,
+    })
+    io = io_settings_from_directives(dirs, IoSettings(
+        batch_max_size=1024, batch_max_records=50,
+        batch_max_metadata_size=512, batch_timeout_s=5.0))
+    assert io.batch_max_size == 2048
+    assert io.batch_timeout_s == 0.015
+    assert io.batch_max_records == 100
+    assert io.batch_max_metadata_size == 1_000_000
+
+
+def test_io_settings_defaults_and_kib():
+    from reductstore_spark.condition.parser import parse_when
+    from reductstore_spark.functions.cursor import io_settings_from_directives
+
+    _, dirs = parse_when({"#batch_size": "4KiB"})
+    io = io_settings_from_directives(dirs)
+    assert io.batch_max_size == 4096
+    assert io.batch_max_records == 85          # cfg/io.rs defaults
+    assert io.batch_max_metadata_size == 512_000
+    assert io.batch_timeout_s == 5.0
+
+
+def test_io_settings_invalid_values():
+    from reductstore_spark.condition.parser import parse_when
+    from reductstore_spark.functions.cursor import (
+        UnprocessableEntity,
+        io_settings_from_directives,
+    )
+
+    _, dirs = parse_when({"#batch_size": 2.5})
+    with pytest.raises(UnprocessableEntity):
+        io_settings_from_directives(dirs)
+    _, dirs = parse_when({"#batch_records": "many"})
+    with pytest.raises(UnprocessableEntity):
+        io_settings_from_directives(dirs)
+    _, dirs = parse_when({"#batch_timeout": "soon"})
+    with pytest.raises(UnprocessableEntity):
+        io_settings_from_directives(dirs)
