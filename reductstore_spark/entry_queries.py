@@ -938,12 +938,13 @@ WITH sh AS (
   FROM bf a JOIN bf b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
 )
-SELECT id_a, id_b, jaccard FROM (
+SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard FROM (
   SELECT id_a, id_b,
-    round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-          len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+    len(list_intersect(list_transform(x.sh, s -> md5(s)[1:15]),
+                       list_transform(y.sh, s -> md5(s)[1:15])))::DOUBLE AS inter,
+    len(x.sh) AS na, len(y.sh) AS nb
   FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b
-) WHERE jaccard >= 0.5
+) WHERE round(inter / (na + nb - inter), 6) >= 0.5
 """
 
 
@@ -1062,24 +1063,34 @@ NGRAM_BLOCK_CAP = 256
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs with word-count blocking (exact
-    within blocks; shuffles only block keys, never all pairs)."""
+    """N-gram Jaccard near-dup pairs with blocking (exact within blocks;
+    shuffles only block keys, never all pairs)."""
     prep(spark)
-    from .operators.dedup import jaccard, normalized_words, word_shingles
+    from .operators.dedup import jaccard, normalized_words
     docs = _t(spark, sf_dir, "documents")
     words = normalized_words(F.col("text"))
-    # shuffle-invariant block key: word count + the 3 lexicographically
-    # smallest distinct words — word-order mutations preserve it, and it
-    # keeps blocks tight enough that exact jaccard stays block-quadratic
+    # shuffle-invariant block key: coarse length bucket (word count / 8)
+    # + the 3 lexicographically smallest distinct words — word-order
+    # mutations and small insertions usually preserve it (an exact word
+    # count would split every near-dup pair differing by one word into
+    # different blocks), while the bucket keeps templated corpora from
+    # collapsing into one giant block
     block = F.md5(F.concat_ws(
-        "|", F.size(words).cast("string"),
+        "|", (F.size(words) / 8).cast("long").cast("string"),
         F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(words)), 1, 3))))
     from .caching import persist_tracked
-    sh = persist_tracked(docs.select(
-        F.col("doc_id").alias("id"),
-        word_shingles(F.col("text"), 2).alias("sh"),
-        block.alias("blk"),
-    ))  # referenced by both join sides — compute shingles once
+    from .operators.dedup import hashed_shingles, shingle_arrays
+    # shingle sets via the codegen path (exploded + collect_set), hashed
+    # to long for the verify intersect, block keys inline; docs shorter
+    # than the shingle width get an empty set
+    arrays = shingle_arrays(docs.select("doc_id", "text"), "doc_id", "text", 2)
+    sh = persist_tracked(
+        docs.select("doc_id", block.alias("blk"))
+        .join(arrays.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(F.col("doc_id").alias("id"), "blk",
+                F.coalesce(hashed_shingles(F.col("sh")),
+                           F.array().cast("array<long>")).alias("sh"))
+    )  # referenced by both join sides — compute shingles once
     # templated corpora can collapse into one huge block and square the
     # verify; blocks beyond the cap are skipped deterministically (the
     # oracle applies the same rule).  The oversized list is <= n/cap rows,
@@ -1096,13 +1107,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return out.where(F.col("jaccard") >= 0.8)
 
 
+# verify intersects 15-char md5 prefixes: bijective with the bigint the
+# Spark side parses from the same prefix, so set sizes (hence jaccard,
+# collisions included) are identical; union size is |a|+|b|-|inter|
+# since shingle lists are distinct
 SQL_DEDUP_NGRAM = r"""
 WITH sh AS (
   SELECT doc_id AS id,
     CASE WHEN len(ws) >= 2 THEN
-      list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))])
+      list_transform(
+        list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]),
+        s -> md5(s)[1:15])
     ELSE [] END AS sh,
-    md5(CAST(len(ws) AS VARCHAR) || '|' ||
+    md5(CAST(len(ws) // 8 AS VARCHAR) || '|' ||
         array_to_string(list_sort(list_distinct(ws))[1:3], ' ')) AS blk
   FROM (SELECT doc_id, text,
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
@@ -1112,12 +1129,12 @@ WITH sh AS (
   SELECT * FROM sh WHERE blk IN (
     SELECT blk FROM sh GROUP BY blk HAVING count(*) <= 256)
 )
-SELECT id_a, id_b, jaccard FROM (
+SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard FROM (
   SELECT a.id AS id_a, b.id AS id_b,
-    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+    len(a.sh) AS na, len(b.sh) AS nb
   FROM capped a JOIN capped b ON a.blk = b.blk AND a.id < b.id
-) WHERE jaccard >= 0.8
+) WHERE round(inter / (na + nb - inter), 6) >= 0.8
 """
 
 
