@@ -1415,6 +1415,160 @@ FROM fps
 """
 
 
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: each click event aligned with the user's most recent
+    purchase at or before it (the kdb+ aj / pandas merge_asof primitive
+    Spark lacks) — one window shuffle on user_id, never a range join."""
+    prep(spark)
+    from .operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts"), "event_type", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    # one row per (user, ts): dedup makes the tie-break deterministic in
+    # both engines (several purchases at one instant would otherwise pick
+    # an arbitrary survivor)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    return out.select(
+        "user_id", "ts", "value",
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("purchase_value_r").alias("purchase_value"))
+
+
+SQL_ASOF_PURCHASE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type, value FROM events
+), l AS (
+  SELECT user_id, ts, value FROM ev WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts AS pts, max(value) AS purchase_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.ts, l.value, r.pts AS purchase_ts, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the MinHash pair
+    graph; every doc gets a canonical id (smallest doc id reachable) —
+    the group assignment that turns pairwise near-dups into keep-one
+    dedup decisions."""
+    prep(spark)
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, shingle_k=3, num_hashes=8, num_bands=4,
+                              threshold=0.5)
+    comp = connected_components(pairs)
+    return (docs.select("doc_id")
+            .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component")))
+
+
+# transitive closure via recursive CTE is oracle-only (fine on the small
+# correctness corpus); the Spark side converges in O(log d) label rounds
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE prs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split by content-independent hash of
+    the document id — reproducible across runs, engines, and cluster
+    sizes (no RNG), the standard way to partition a training corpus."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 100)
+    return docs.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"))
+
+
+SQL_SAMPLE_SPLIT = """
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          AS bucket
+      FROM documents)
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style quality rule flags per document (word-count bounds,
+    mean word length, symbol ratio, stopword presence) + the combined
+    keep decision — pure Column arithmetic, no UDFs."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    docs = _t(spark, sf_dir, "documents")
+    words = normalized_words(F.col("text"))
+    n_words = F.size(words)
+    mean_wl = F.round(
+        (F.length(F.concat_ws("", words)).cast("double") / n_words), 6)
+    n_hash = F.length(F.col("text")) - F.length(F.regexp_replace("text", "#", ""))
+    n_dots = (F.length(F.col("text"))
+              - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3
+    symbol_ratio = F.round((n_hash + n_dots).cast("double") / n_words, 6)
+    stop_hits = sum(
+        (F.array_contains(words, w)).cast("int")
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"])
+    keep = ((n_words >= 15) & (n_words <= 100000)
+            & (mean_wl >= 2.0) & (mean_wl <= 12.0)
+            & (symbol_ratio < 0.1) & (stop_hits >= 1))
+    return docs.select(
+        "doc_id", n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"), symbol_ratio.alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        keep.alias("keep"))
+
+
+SQL_QUALITY_FILTER = r"""
+WITH w AS (
+  SELECT doc_id, text,
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n_words,
+    round(length(array_to_string(ws, ''))::DOUBLE / len(ws), 6) AS mean_word_len,
+    round((length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+          / len(ws), 6) AS symbol_ratio,
+    (list_contains(ws, 'the')::INT + list_contains(ws, 'be')::INT
+     + list_contains(ws, 'to')::INT + list_contains(ws, 'of')::INT
+     + list_contains(ws, 'and')::INT + list_contains(ws, 'that')::INT
+     + list_contains(ws, 'have')::INT + list_contains(ws, 'with')::INT)
+      AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+  CAST(stopword_hits AS BIGINT) AS stopword_hits,
+  (n_words BETWEEN 15 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+   AND symbol_ratio < 0.1 AND stopword_hits >= 1) AS keep
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1474,4 +1628,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "asof_purchase": (q_asof_purchase, SQL_ASOF_PURCHASE),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
 }
