@@ -96,3 +96,20 @@ def test_meta_entries(spark, tmp_path):
     assert {r["entry"] for r in out.select("entry").collect()} == {"e1"}
     # FIFO eviction ignores $meta partitions
     assert store.evict_fifo("b", quota_bytes=1) == 0
+
+
+def test_asof_is_windowed_merge_not_range_join(spark, sf_dir):
+    """asof_join must compile to a keyed window pass — an inequality
+    join would become a per-key cross product (O(|L|x|R|)) at scale."""
+    plan = plan_of(QUERIES["asof_purchase"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(user_id" in plan  # keyed, not global
+
+
+def test_quality_and_split_prune_columns(spark, sf_dir):
+    for q in ["sample_split", "quality_filter"]:
+        plan = plan_of(QUERIES[q][0](spark, sf_dir))
+        scan = [l for l in plan.split("\n") if "ReadSchema" in l][0]
+        assert "text" not in scan or q == "quality_filter", scan
+        assert "lang" not in scan and "source" not in scan, scan
