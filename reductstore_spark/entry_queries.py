@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .query import QueryEngine
-from .schema import events_as_records, events_label_columns
+from .schema import events_as_records, events_label_columns, raw_ts_us
 
 # absolute µs bounds used by the range queries (2024-01-05 .. 2024-01-12)
 T0 = 1_704_412_800_000_000
@@ -1308,8 +1308,8 @@ def q_sessionize(spark, sf_dir):
     """Gap-based sessionization over the event stream (30-minute
     inactivity gap) — per-user session statistics."""
     prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", raw_ts_us(ev).alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gap_us = 30 * 60 * 1_000_000
     marked = ev.withColumn(
@@ -1358,9 +1358,10 @@ def q_events_daily(spark, sf_dir):
     """Daily rollup per event type (the hypertable-rollup pattern)."""
     prep(spark)
     ev = _t(spark, sf_dir, "events")
-    day = F.expr("(ts DIV 1000) DIV 86400000000").alias("day")
+    ev = ev.select("event_type", "value", raw_ts_us(ev).alias("ts_us"))
     return (
-        ev.select(F.col("event_type").alias("entry"), day,
+        ev.select(F.col("event_type").alias("entry"),
+                  F.expr("ts_us DIV 86400000000").alias("day"),
                   F.col("value").cast("decimal(18,2)").alias("v"))
         .groupBy("entry", "day")
         .agg(F.count(F.lit(1)).alias("n"),
@@ -1421,8 +1422,9 @@ def q_asof_purchase(spark, sf_dir):
     Spark lacks) — one window shuffle on user_id, never a range join."""
     prep(spark)
     from .operators.asof import asof_join
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts"), "event_type", "value")
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", raw_ts_us(ev).alias("ts"),
+                   "event_type", "value")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", "value")
     # one row per (user, ts): dedup makes the tie-break deterministic in

@@ -53,6 +53,34 @@ def with_partition_cols(df: DataFrame) -> DataFrame:
     return df.withColumn("ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long"))
 
 
+def raw_ts_us(df: DataFrame, col: str = "ts"):
+    """Column expression converting a source timestamp column to epoch µs
+    (long), whatever its physical type:
+
+    * long            -- UNIX ns (parquet TIMESTAMP(NANOS) read under
+                         ``nanosAsLong``); integer DIV keeps exactness —
+                         double division would lose precision at 1e18
+    * timestamp[_ntz] -- ``unix_micros`` after an NTZ→LTZ cast that is the
+                         identity because the engine pins the session
+                         timezone to UTC (prep/session), matching DuckDB's
+                         ``epoch_us`` on naive timestamps
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def raw_ts_literal(df: DataFrame, us: int, col: str = "ts"):
+    """Literal comparable against the RAW source timestamp column (so the
+    predicate constant-folds and reaches the Parquet scan as row-group
+    pruning on the physical column)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.lit(int(us) * 1000)
+    return F.timestamp_micros(F.lit(int(us))).cast(dt)
+
+
 def events_as_records(spark: SparkSession, sf_dir: str,
                       start_us=None, stop_us=None) -> DataFrame:
     """Map the driver's ``events`` table into the records model.
@@ -63,20 +91,18 @@ def events_as_records(spark: SparkSession, sf_dir: str,
               value > 100, exercising $exists and missing-label paths)
     state  <- FINISHED
 
-    ``start_us``/``stop_us`` push the time range onto the RAW nanosecond
-    column *before* the µs derivation — a filter on the derived
-    ``ts DIV 1000`` cannot reach the Parquet scan (no row-group pruning),
-    but on the raw column it does.  The RecordStore path doesn't need
-    this: its ``ts`` is physical.
+    ``start_us``/``stop_us`` push the time range onto the RAW source
+    column *before* the µs derivation — a filter on the derived epoch
+    column cannot reach the Parquet scan (no row-group pruning), but on
+    the raw column it does.  The RecordStore path doesn't need this: its
+    ``ts`` is physical.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if start_us is not None:
-        ev = ev.where(F.col("ts") >= F.lit(int(start_us) * 1000))
+        ev = ev.where(F.col("ts") >= raw_ts_literal(ev, start_us))
     if stop_us is not None:
-        ev = ev.where(F.col("ts") < F.lit(int(stop_us) * 1000))
-    # ts arrives as long nanoseconds (see session.py nanosAsLong); integer
-    # DIV keeps exactness -- double division would lose precision at 1e18
-    ts_us = F.expr("ts DIV 1000")
+        ev = ev.where(F.col("ts") < raw_ts_literal(ev, stop_us))
+    ts_us = raw_ts_us(ev)
     base_labels = F.create_map(
         F.lit("user"), F.col("user_id").cast("string"),
         F.lit("value"), F.col("value").cast("string"),
