@@ -1571,6 +1571,148 @@ FROM m
 """
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-20 word bigrams by frequency — the standard
+    n-gram-statistics pass over a training corpus (contamination checks,
+    boilerplate discovery).
+
+    Scale shape: posexplode + window ``lead`` keeps bigram construction
+    in whole-stage codegen (no interpreted array HOF); the count is one
+    hash aggregate with map-side partial combine; the final top-k is
+    ``TakeOrderedAndProject`` (per-partition top-k + 20-row driver
+    merge), never a global window over the grouped counts."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    from .operators.topk import global_top_k
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(normalized_words(F.col("text"))).alias("pos", "w"))
+    nxt = F.lead("w").over(
+        Window.partitionBy("doc_id").orderBy("pos"))
+    grams = (words.withColumn("w2", nxt)
+             .where(F.col("w2").isNotNull())
+             .select(F.concat_ws(" ", "w", "w2").alias("ngram")))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    return global_top_k(counts, 20, [F.desc("n"), F.asc("ngram")],
+                        rank_col="rnk")
+
+
+SQL_NGRAM_TOPK = r"""
+WITH w AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+    AS ws
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+  FROM w
+)
+SELECT ngram, count(*) AS n,
+  CAST(row_number() OVER (ORDER BY count(*) DESC, ngram) AS INT) AS rnk
+FROM g GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
+def q_text_clean(spark, sf_dir):
+    """Text normalization pass: fold tab/newline to spaces, collapse
+    whitespace runs, trim — emitting the cleaned-text digest and the
+    byte savings.  Pure Column regex (JVM-side, per-row parallel, no
+    shuffle): the canonical first stage of a corpus-cleaning pipeline."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace("text", r"[\t\n\r]", " "), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+        (F.length("text") - F.length(cleaned)).cast("bigint")
+        .alias("removed"))
+
+
+SQL_TEXT_CLEAN = r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(text, '[\t\n\r]', ' ', 'g'),
+                          '\s+', ' ', 'g'))) AS clean_md5,
+  length(trim(regexp_replace(regexp_replace(text, '[\t\n\r]', ' ', 'g'),
+                             '\s+', ' ', 'g'))) AS clean_len,
+  length(text)
+    - length(trim(regexp_replace(regexp_replace(text, '[\t\n\r]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS removed
+FROM documents
+"""
+
+
+def q_doc_rarity(spark, sf_dir):
+    """Per-document rare-token profile: distinct-word count plus the
+    sum/min/max of corpus document frequencies of the doc's words — the
+    signal behind rare-token and boilerplate filters (a doc whose min_df
+    is high is all boilerplate; one full of df=1 tokens is noise).
+
+    Scale shape: distinct-words explode → one hash aggregate builds the
+    document-frequency table partitioned by word; the explode side then
+    joins on the same key, so the DF side needs no second shuffle; the
+    final per-doc aggregate combines map-side.  All-integer outputs —
+    the oracle compare is exact."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(normalized_words(F.col("text"))))
+        .alias("w"))
+    dfreq = w.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (w.join(dfreq, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum("df").alias("sum_df"),
+                 F.min("df").alias("min_df"),
+                 F.max("df").alias("max_df")))
+
+
+SQL_DOC_RARITY = r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_distinct(string_split(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS w
+  FROM documents
+), d AS (
+  SELECT w, count(*) AS df FROM w GROUP BY w
+)
+SELECT doc_id, count(*) AS n_distinct, CAST(sum(df) AS BIGINT) AS sum_df,
+  min(df) AS min_df, max(df) AS max_df
+FROM w JOIN d USING (w) GROUP BY doc_id
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus profile: document count, total/mean/median/extreme
+    lengths — the summary a pipeline operator checks before and after
+    every filtering stage.  One hash aggregate (partial map-side combine);
+    the exact median is fine per-group because group count is bounded by
+    the source cardinality, not corpus size."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                 F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+SQL_CORPUS_STATS = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+  round(avg(n_chars), 6) AS avg_chars,
+  quantile_cont(n_chars, 0.5) AS median_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1634,4 +1776,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
 }

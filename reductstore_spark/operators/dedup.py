@@ -245,26 +245,46 @@ def connected_components(
     takes the min of its own and its neighbors' labels (one join +
     map-side-combined groupBy shuffling only (id, label)), then labels
     chase their label's label (pointer jump), so convergence is
-    O(log diameter) rounds, not O(diameter).  Each round materializes a
-    cached label table and drops the previous one, keeping lineage flat
-    — the standard large-graph CC shape (large-star/small-star family),
-    never an all-pairs closure.  Near-dup graphs have tiny components,
-    so 3-4 rounds typically suffice; ``max_iter`` only bounds pathology.
+    O(log diameter) rounds, not O(diameter) — the standard large-graph
+    CC shape (large-star/small-star family), never an all-pairs closure.
+
+    Two details carry the iteration at scale:
+
+    * **Lineage truncation.**  Every round is ``localCheckpoint``-ed.
+      Without it the logical plan *doubles* per round (the pointer-jump
+      self-join references the step twice) and Catalyst re-analyzes the
+      entire upstream candidate-generation tree on every iteration —
+      empirically the optimizer, not the data, dominated wall time by
+      round 3.  On a cluster where executor loss must be survivable,
+      swap for reliable ``checkpoint`` with a checkpoint dir.
+    * **Join-free convergence test.**  Labels are monotonically
+      non-increasing, so the iteration has converged exactly when
+      ``sum(lbl)`` stops decreasing — one map-side-combined aggregate
+      per round (decimal, overflow-proof) instead of a join + count.
+
+    Near-dup graphs have tiny components, so 2-4 rounds typically
+    suffice; ``max_iter`` only bounds pathology.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst")))
-    edges = persist_tracked(edges)
+                             F.col("src").alias("dst"))).localCheckpoint()
     labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id")))
-    labels = persist_tracked(labels)
-    labels.count()
+              .withColumn("lbl", F.col("id"))).localCheckpoint()
 
+    def lblsum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = lblsum(labels)
     for _ in range(max_iter):
         nbr = (edges.join(labels.select(F.col("id").alias("dst"), "lbl"),
                           "dst")
                .groupBy("src").agg(F.min("lbl").alias("nlbl"))
                .withColumnRenamed("src", "id"))
+        # stepped stays lazy: labels/edges are checkpointed, so its tree
+        # is constant-depth and the self-join below merely computes the
+        # (tiny, cache-fed) step twice within one job — cheaper than an
+        # extra checkpoint job per round
         stepped = (labels.join(nbr, "id", "left")
                    .select("id", F.least(
                        "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
@@ -274,13 +294,11 @@ def connected_components(
                   .join(stepped.select(F.col("id").alias("lbl"),
                                        F.col("lbl").alias("plbl")).alias("p"),
                         "lbl", "left")
-                  .select("id", F.coalesce("plbl", "lbl").alias("lbl")))
-        jumped = persist_tracked(jumped)
-        changed = (jumped.alias("a")
-                   .join(labels.alias("b"), "id")
-                   .where(F.col("a.lbl") != F.col("b.lbl")).count())
-        labels.unpersist()
+                  .select("id", F.coalesce("plbl", "lbl").alias("lbl"))
+                  ).localCheckpoint()
         labels = jumped
-        if changed == 0:
+        cur = lblsum(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels.select(F.col("id"), F.col("lbl").alias("component"))

@@ -107,6 +107,51 @@ def test_asof_is_windowed_merge_not_range_join(spark, sf_dir):
     assert "windowspecdefinition(user_id" in plan  # keyed, not global
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with zero Exchange and zero per-task Sort — the co-location that
+    makes repeated fact-fact joins affordable at 100 TB."""
+    from reductstore_spark.sources.bucketed import write_bucketed
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 4,
+                   str(tmp_path / "ob"))
+    write_bucketed(li, "lineitem_b", ["l_orderkey"], 4,
+                   str(tmp_path / "lb"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # scan-reports-sorted is opt-in since Spark 3 (it requires one
+        # file per bucket, which write_bucketed guarantees)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan[:600]
+        assert "Exchange" not in plan, plan[:600]
+        assert "Sort " not in plan, plan[:600]  # bucket files pre-sorted
+        n = j.count()
+        ref = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert n == ref
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_ngram_topk_codegen_and_takeordered(spark, sf_dir):
+    """Bigram construction must stay in whole-stage codegen (posexplode +
+    lead, not an interpreted array HOF) and the final top-k must be
+    TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["ngram_topk"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
 def test_quality_and_split_prune_columns(spark, sf_dir):
     for q in ["sample_split", "quality_filter"]:
         plan = plan_of(QUERIES[q][0](spark, sf_dir))
