@@ -93,6 +93,47 @@ def test_replication_entry_glob_prefix_and_when(spark, tmp_path):
     assert {r["ts"] for r in rows} == {1_000_000, 2_000_000, 3_000_000}
 
 
+def test_windowed_rollup_watermark_late_data(spark, tmp_path):
+    """Watermarked rollup: a belated write folds into its bucket as long
+    as the bucket is still open (window end > watermark — for windowed
+    aggregation Spark's lateness unit is the window, not the row); a
+    write into an already-closed bucket is dropped; append mode emits
+    each bucket exactly once when the watermark passes its end."""
+    from reductstore_spark.streaming.rollup import windowed_rollup
+
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, root)
+
+    def run(expect_new):
+        roll = windowed_rollup(continuous_query(spark, root),
+                               window_duration="2 seconds",
+                               watermark_delay="1 second")
+        q = (roll.writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {(r["win_start"], r["n"])
+                for r in spark.read.parquet(out).collect()}
+        return rows
+
+    # ts 0..4s; watermark ends at 4s-1s=3s -> only window [0,2) closes
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    assert run(1) == {(0, 2)}
+
+    # watermark restored at 3s: 1.5s targets the CLOSED [0,2) bucket ->
+    # dropped (its n=2 stands); 2.5s and 3.5s fold into the still-open
+    # [2,4) bucket; 7s advances the watermark to 6s, closing [2,4)
+    # (n=4: ts 2, 2.5, 3, 3.5) and [4,6) (n=1)
+    late = [("b1", "e1", 1_500_000, None, "", 1, {}, {}),
+            ("b1", "e1", 2_500_000, None, "", 1, {}, {}),
+            ("b1", "e1", 3_500_000, None, "", 1, {}, {}),
+            ("b1", "e1", 7_000_000, None, "", 1, {}, {})]
+    store.write(spark.createDataFrame(late, SCHEMA))
+    assert run(2) == {(0, 2), (2_000_000, 4), (4_000_000, 1)}
+
+
 def test_stateful_stream_gate_across_batches(spark, tmp_path):
     """$gate's deadline/latch state must survive micro-batch boundaries."""
     root = str(tmp_path / "store")
