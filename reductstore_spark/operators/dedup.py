@@ -268,8 +268,13 @@ def connected_components(
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).localCheckpoint()
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id"))).localCheckpoint()
+    # round-0 fold: seed every node with min(id, min neighbor id) directly
+    # from the edge list — one aggregate instead of the first full
+    # join+step round (single-edge components converge immediately)
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("__mn"))
+              .select(F.col("src").alias("id"),
+                      F.least("src", "__mn").alias("lbl"))
+              ).localCheckpoint()
 
     def lblsum(df: DataFrame):
         return df.agg(
