@@ -40,11 +40,19 @@ def extension_names() -> List[str]:
     return sorted(_REGISTRY)
 
 
-def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False) -> DataFrame:
+def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False,
+                       compile_builtin: bool = True) -> DataFrame:
     """Run the extension pipeline over a records DataFrame.
 
     ``ext_spec``: dict (one step) or list of step dicts; each step is
     ``{ext_name: params, "when": cond?}`` (ext_repository.rs:339-470).
+
+    Built-in ``label_expr`` steps compile to Catalyst Column transforms
+    when possible (``compile_builtin``) — the Spark analogue of the
+    reference dispatching to *compiled* extensions rather than
+    interpreting: no Arrow round-trip, no per-row Python.  User
+    extensions and non-compilable expressions take the mapInPandas
+    path.
     """
     steps = ext_spec if isinstance(ext_spec, list) else [ext_spec]
     for step in steps:
@@ -57,7 +65,27 @@ def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False) -> DataFra
         (name, params), = step.items()
         if name not in _REGISTRY:
             raise CondError(f"Extension '{name}' is not registered")
-        df = _apply_one(df, _REGISTRY[name](params))
+        compiled = None
+        if compile_builtin and name == "label_expr":
+            compiled = _label_expr_compiled(df, params)
+        if compiled is not None:
+            df = compiled
+            if when is not None:
+                # pushdown barrier: without it the per-step filter is
+                # substituted through the computed_labels projection and
+                # re-evaluates the whole map construction once per label
+                # reference, interpreted (measured 2x the Arrow path).
+                # A nondeterministic branch in the projected value makes
+                # the projection unpushable-through, so the filter binds
+                # the computed attribute instead.  The mapInPandas path
+                # needs none of this — a Python stage is already opaque.
+                nd = F.monotonically_increasing_id() < F.lit(-1)
+                df = df.withColumn(
+                    "computed_labels",
+                    F.when(nd, F.lit(None).cast("map<string,string>"))
+                    .otherwise(F.col("computed_labels")))
+        else:
+            df = _apply_one(df, _REGISTRY[name](params))
         if when is not None:
             from ..plans.planner import plan_parsed
             from ..condition.parser import parse_when
@@ -87,6 +115,147 @@ def _apply_one(df: DataFrame, transform) -> DataFrame:
         F.from_json("__labels_json", "map<string,string>").alias("labels"),
         F.from_json("__computed_json", "map<string,string>").alias("computed_labels"),
     ).select(*cols)
+
+
+def _node_may_yield_duration(node) -> bool:
+    """True if the expression could evaluate to a Duration value, whose
+    display differs between the interpreter (full multi-unit
+    fmt_duration) and the struct compiler ('<µs>us' approximation) —
+    those expressions stay on the exact pandas path."""
+    from ..condition import values as V
+    from ..condition.ast import Const, Op
+
+    if isinstance(node, Const):
+        return node.value.kind == V.DURATION
+    if isinstance(node, Op):
+        if node.name == "$cast" and any(
+                isinstance(a, Const) and a.value.val == "duration"
+                for a in node.operands):
+            return True
+        return any(_node_may_yield_duration(a) for a in node.operands)
+    return False
+
+
+# top-level result kind by operator: Bool-kind ops display "true"/"false";
+# numeric ops display via int/float canonicalization; everything else
+# (leaves, $ref, $add's string/number duality) uses the general label
+# display rules
+_BOOL_OPS = {"$and", "$or", "$not", "$xor", "$eq", "$ne", "$gt", "$gte",
+             "$lt", "$lte", "$in", "$nin", "$exists", "$contains",
+             "$starts_with", "$ends_with"}
+_NUM_OPS = {"$sub", "$mult", "$div", "$div_num", "$rem", "$abs", "$second",
+            "$minute", "$hour", "$day", "$month", "$year", "$weekday",
+            "$timestamp"}
+
+
+def _flat_value_display(node, labels: Column, computed: Column) -> Column:
+    """Compile a label_expr expression through the FLAT (whole-stage-
+    codegen) tier and render its canonical display string, null on
+    evaluation error.  Raises fastcols.Unsupported outside the tier."""
+    from ..condition import values as V
+    from ..condition.ast import Const, Op
+    from ..condition import fastcols as FC
+
+    fv = FC.FlatCompiler(F.col("ts"), labels, computed).compile(node)
+    err = FC._err(fv)
+
+    kind = None
+    if isinstance(node, Op):
+        if node.name in _BOOL_OPS:
+            kind = "bool"
+        elif node.name in _NUM_OPS:
+            kind = "num"
+        elif node.name == "$cast":
+            t = node.operands[1]
+            target = t.value.val if isinstance(t, Const) else None
+            if target == "bool":
+                kind = "bool"
+            elif target in ("int", "float"):
+                kind = "num"
+            # duration is pre-filtered by _node_may_yield_duration;
+            # cast-to-string raises Unsupported inside the compiler
+    if kind == "bool":
+        disp = F.when(fv.num != 0.0, "true").otherwise("false") \
+            if fv.const is None else F.lit(V.to_display(fv.const))
+    elif kind == "num" and fv.const is None:
+        num = fv.num
+        f_int = (~F.isnan(num)) & (num == F.floor(num)) & (F.abs(num) < 1e16)
+        float_disp = F.when(f_int, num.cast("long").cast("string")) \
+            .otherwise(num.cast("string"))
+        int_disp = num.cast("long").cast("string")
+        disp = F.when(FC._is_float_kind(fv), float_disp).otherwise(int_disp)
+    else:
+        disp = FC._display(fv)
+    return F.when(~F.coalesce(err, F.lit(False)), disp)
+
+
+def _label_expr_compiled(df: DataFrame, params) -> Optional[DataFrame]:
+    """Column-compiled ``label_expr``: each expression becomes a tagged
+    struct value; on evaluation error the label is skipped for that
+    record (the interpreter's try/except-pass), otherwise its canonical
+    display string upserts into ``computed_labels``.  Returns None when
+    any expression is outside the struct compiler's scope (stateful
+    ops, duration-valued results) — caller falls back to mapInPandas.
+
+    Steps apply sequentially, so later expressions see earlier computed
+    labels exactly as in the interpreter (the ``@ref`` is a runtime map
+    lookup against the updated column)."""
+    from ..condition.columns import ColumnCompiler, _display
+    from ..condition.parser import _parse_recursively
+
+    specs = {}
+    for k, expr in params.get("labels", {}).items():
+        nodes = _parse_recursively(expr)
+        if len(nodes) != 1:
+            raise CondError(
+                f"label_expr '{k}' must be a single condition expression")
+        specs[k] = nodes[0]
+
+    def make_disp(node, base: Column):
+        """Display Column for the expression (null = error): FLAT
+        codegen tier first, tagged-struct tier as the general
+        fallback."""
+        try:
+            return _flat_value_display(node, F.col("labels"), base)
+        except Exception:
+            pass
+        cc = ColumnCompiler(F.col("ts"), F.col("labels"), base)
+        v = cc.value(node)
+        bound = F.struct(v.alias("v"))
+        return F.transform(F.array(bound), lambda b: F.when(
+            b["v"]["e"].isNull(), _display(b["v"]))).getItem(0)
+
+    empty = F.expr("cast(map() as map<string,string>)")
+
+    # dry-run compile everything before touching df, so a late failure
+    # can't leave a half-applied pipeline
+    try:
+        for node in specs.values():
+            if _node_may_yield_duration(node):
+                return None
+            make_disp(node, F.coalesce(F.col("computed_labels"), empty))
+    except Exception:
+        return None
+
+    # map_concat-as-upsert needs last-wins key dedup (the engine's label
+    # merge semantic); the alternative — map_filter the old key out —
+    # costs a lambda, and ONE higher-order function in the projection
+    # drops the whole stage out of codegen (measured 2x slower than even
+    # the Arrow round-trip)
+    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    for k, node in specs.items():
+        # a null computed_labels (fresh records) must read as {} — every
+        # map op on NULL is NULL and would silently swallow the upsert
+        base = F.coalesce(F.col("computed_labels"), empty)
+        disp = make_disp(node, base)
+        # on error (disp null) the label keeps any pre-existing value —
+        # the interpreter's try/except leaves computed[k] untouched
+        df = df.withColumn(
+            "computed_labels",
+            F.when(disp.isNotNull(),
+                   F.map_concat(base, F.create_map(F.lit(k), disp)))
+            .otherwise(base))
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,10 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # only reads as a long (nanoseconds) -- converted to µs in schema.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # label upserts are last-wins everywhere (update_labels, computed
+        # labels); lets map_concat BE the upsert without a codegen-killing
+        # map_filter strip of the old key
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
 

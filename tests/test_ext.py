@@ -44,6 +44,108 @@ def test_chained_steps(records):
     assert sorted(r["ts"] for r in out.collect()) == [7000, 8000, 9000]
 
 
+def test_label_expr_compiled_matches_pandas_path(records):
+    """The Column-compiled label_expr must agree with the interpreter
+    (mapInPandas) path exactly — values, error-skips, upsert/overwrite,
+    chained @refs — and must actually stay JVM-side."""
+    spec = [
+        {"label_expr": {"labels": {
+            "d": {"$mult": ["&i", 2]},
+            "bad": {"$div": ["&i", "&missing"]},     # error -> label skipped
+            "s": {"$add": ["&i", "x"]},              # string concat
+            "half": {"$div_num": [{"$cast": ["@d", "int"]}, 4]},  # @ref chain
+        }}},
+        {"label_expr": {"labels": {"d": {"$add": ["&i", 100]}}}},  # overwrite
+    ]
+    compiled = apply_ext_pipeline(records, spec, compile_builtin=True)
+    pandas = apply_ext_pipeline(records, spec, compile_builtin=False)
+
+    def snap(df):
+        return {r["ts"]: dict(r["computed_labels"]) for r in df.collect()}
+
+    assert snap(compiled) == snap(pandas)
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan[:400]
+
+
+def test_label_expr_compiled_null_computed_and_error_keep(spark):
+    """Fresh records carry a NULL computed_labels map (not {}): the
+    compiled upsert must still take (a NULL base swallowed the whole map
+    via map_concat in an earlier version).  And an erroring re-compute
+    must keep the label's previous value, like the interpreter's
+    try/except."""
+    rows = [("b", "e1", 1000, None, "", 1, {"i": "7"}, None)]
+    records = spark.createDataFrame(rows, SCHEMA)
+    spec = [
+        {"label_expr": {"labels": {"x": {"$mult": ["&i", 3]}}}},
+        {"label_expr": {"labels": {"x": {"$div": ["&i", "&missing"]}}}},
+    ]
+    for compile_builtin in (True, False):
+        out = apply_ext_pipeline(records, spec, compile_builtin=compile_builtin)
+        got = dict(out.collect()[0]["computed_labels"])
+        assert got == {"x": "21"}, (compile_builtin, got)
+
+
+EXPR_MATRIX = [
+    {"$mult": ["&i", 2]},
+    {"$add": ["&i", "&s"]},              # mixed kinds -> error -> skip
+    {"$add": ["&s", "&s2"]},             # string concat
+    {"$add": ["&f", 1]},                 # float arithmetic
+    {"$div": ["&i", 4]},
+    {"$div_num": ["&i", 4]},
+    {"$rem": ["&i", 3]},
+    {"$abs": ["&neg"]},
+    {"&i": {"$gt": 3}},                  # bool display true/false
+    {"$and": [{"&i": {"$gte": 0}}, {"&f": {"$lt": 100}}]},
+    {"$xor": [{"&i": {"$gt": 2}}, {"&f": {"$gt": 2}}]},
+    {"$exists": ["&maybe"]},
+    {"$contains": ["&s", "el"]},
+    {"$cast": ["&f", "int"]},
+    {"$cast": ["&i", "float"]},
+    {"$cast": ["&i", "bool"]},
+    {"$hour": [{"$timestamp": []}]},
+    {"$ref": ["&name"]},
+    "&signed",                            # "+42" -> canonical "42"
+    {"$div": ["&i", "&zero"]},            # error -> skip
+    {"$add": ["&missing", 1]},            # missing label -> skip
+]
+
+
+def test_label_expr_compiled_equivalence_matrix(spark):
+    """Every expression shape the flat/struct display tiers claim must
+    produce byte-identical computed labels to the interpreter path,
+    over labels of every runtime kind (int/float/string/bool/signed/
+    missing)."""
+    rows = [("b", "e", 3_600_000_000 * i + 1000 * i, None, "", 1,
+             {"i": str(i), "f": f"{i}.5", "s": "hello", "s2": "world",
+              "neg": str(-i), "signed": "+42", "zero": "0",
+              "name": "i" if i % 2 else "f",
+              **({"maybe": "1"} if i % 2 else {})}, None)
+            for i in range(8)]
+    records = spark.createDataFrame(rows, SCHEMA)
+    spec = {"label_expr": {
+        "labels": {f"x{j}": e for j, e in enumerate(EXPR_MATRIX)}}}
+    compiled = apply_ext_pipeline(records, spec, compile_builtin=True)
+    pandas = apply_ext_pipeline(records, spec, compile_builtin=False)
+    got_c = {r["ts"]: dict(r["computed_labels"]) for r in compiled.collect()}
+    got_p = {r["ts"]: dict(r["computed_labels"]) for r in pandas.collect()}
+    assert got_c == got_p, {
+        ts: (got_c[ts], got_p[ts]) for ts in got_c if got_c[ts] != got_p[ts]}
+
+
+def test_label_expr_duration_falls_back_to_exact_path(records):
+    # duration-valued expressions ($cast to duration / duration consts)
+    # display via fmt_duration ("1m 40s"), which only the interpreter
+    # path implements — compile must decline
+    spec = {"label_expr": {"labels": {
+        "w": {"$cast": [{"$mult": ["&i", 10_000_000]}, "duration"]}}}}
+    out = apply_ext_pipeline(records, spec, compile_builtin=True)
+    got = {r["ts"]: r["computed_labels"]["w"] for r in out.collect()}
+    assert got[0] == "0us" and got[9000] == "1m 30s", got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # really took the pandas path
+
+
 def test_ext_via_query_directive(records):
     qe = QueryEngine()
     out = qe.query(records, when={
