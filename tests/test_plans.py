@@ -152,6 +152,16 @@ def test_ngram_topk_codegen_and_takeordered(spark, sf_dir):
     assert "partial_count" in plan  # map-side combine before the shuffle
 
 
+def test_ext_pipeline_label_expr_compiles_to_jvm(spark, sf_dir):
+    """The #ext label_expr step must run as Catalyst column transforms
+    (no Python stage), and its strict per-step when must filter on the
+    bound computed_labels attribute — not re-expand the map
+    construction per reference (the plan stays small)."""
+    plan = plan_of(QUERIES["ext_pipeline"][0](spark, sf_dir))
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan[:500]
+    assert len(plan) < 20000, f"plan blew up to {len(plan)} chars"
+
+
 def test_quality_and_split_prune_columns(spark, sf_dir):
     for q in ["sample_split", "quality_filter"]:
         plan = plan_of(QUERIES[q][0](spark, sf_dir))
