@@ -8,10 +8,14 @@ Public surface:
     condition                         -- JSON `when` language (parser,
                                          Column compiler, interpreter)
     query.QueryEngine                 -- scans, multi-entry, mutation
+    catalog                           -- SQL views over corpus + stores
     sources.store.RecordStore         -- partitioned Parquet storage
+    sources.bucketed                  -- shuffle-free co-located joins
     operators.*                       -- stateful ops, dedup, similarity,
-                                         text analysis, multimodal
-    streaming.*                       -- continuous queries, replication
+                                         text analysis, multimodal,
+                                         as-of join, top-k
+    streaming.*                       -- continuous queries, replication,
+                                         watermarked rollups
 """
 
 __version__ = "0.1.0"

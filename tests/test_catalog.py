@@ -34,6 +34,23 @@ def test_sql_join_agg_over_views(spark, sf_dir):
         [(r["r_name"], r["count"]) for r in ref]
 
 
+def test_register_store_view(spark, tmp_path):
+    from reductstore_spark.catalog import register_store
+    from reductstore_spark.sources.store import RecordStore
+    schema = ("bucket string, entry string, ts long, payload binary, "
+              "content_type string, state int, labels map<string,string>, "
+              "computed_labels map<string,string>")
+    store = RecordStore(spark, str(tmp_path / "s"))
+    store.write(spark.createDataFrame(
+        [("b", "e1", i * 1000, None, "", 1, {"v": str(i)}, {})
+         for i in range(5)], schema))
+    register_store(spark, str(tmp_path / "s"), view="store_recs")
+    got = spark.sql(
+        "SELECT ts FROM store_recs WHERE labels['v'] >= '3' ORDER BY ts"
+    ).collect()
+    assert [r["ts"] for r in got] == [3000, 4000]
+
+
 def test_sql_pushdown_through_view(spark, sf_dir):
     register_tables(spark, sf_dir)
     df = spark.sql(
