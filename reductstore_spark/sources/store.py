@@ -249,6 +249,52 @@ class RecordStore:
                 if d.startswith("entry=") and d[len("entry="):] in candidates:
                     shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
 
+    # -- info ------------------------------------------------------------
+    def entry_info(self, bucket: str, entry: str) -> dict:
+        """EntryInfo parity (entry.rs:215-250, entry_api.rs EntryInfo):
+        name / size / record_count / block_count / oldest_record /
+        latest_record.
+
+        record_count and the ts extremes come from ONE aggregate over the
+        entry's partitions — with parquet aggregate pushdown the min/max
+        read footer statistics, not data (the analogue of the reference
+        answering from its BlockIndex).  size/block_count come from the
+        filesystem listing; a parquet file is the closest analogue of a
+        block."""
+        from urllib.parse import quote
+
+        cur = (self.read()
+               .where((F.col("bucket") == bucket) & (F.col("entry") == entry)))
+        row = cur.agg(F.count(F.lit(1)).alias("n"),
+                      F.min("ts").alias("lo"),
+                      F.max("ts").alias("hi")).collect()[0]
+        size = files = 0
+        broot = os.path.join(self.root, f"bucket={bucket}")
+        candidates = {f"entry={quote(entry, safe='')}", f"entry={entry}"}
+        for dirpath, _dirnames, filenames in os.walk(broot):
+            parts = dirpath[len(broot):].split(os.sep)
+            if any(p in candidates for p in parts):
+                pq = [f for f in filenames if f.endswith(".parquet")]
+                files += len(pq)
+                size += sum(os.path.getsize(os.path.join(dirpath, f))
+                            for f in pq)
+        return {"name": entry, "size": size, "record_count": row["n"],
+                "block_count": files,
+                "oldest_record": row["lo"], "latest_record": row["hi"]}
+
+    def bucket_info(self, bucket: str) -> dict:
+        """BucketInfo parity (bucket_api.rs BucketInfo): size / entry_count
+        / record-time extremes across the bucket's visible entries."""
+        names = [e for b, e in self.entries(bucket)]
+        cur = self.read().where(
+            (F.col("bucket") == bucket) & F.col("entry").isin(names))
+        row = cur.agg(F.count(F.lit(1)).alias("n"),
+                      F.min("ts").alias("lo"),
+                      F.max("ts").alias("hi")).collect()[0]
+        return {"name": bucket, "size": self.bucket_size(bucket),
+                "entry_count": len(names), "record_count": row["n"],
+                "oldest_record": row["lo"], "latest_record": row["hi"]}
+
     # -- quota -----------------------------------------------------------
     def bucket_size(self, bucket: str) -> int:
         return sum(size for _, _, size in self._bucket_days(bucket))

@@ -110,3 +110,25 @@ def test_evict_fifo(spark, store):
     assert store.read().count() == 1
     # newest day survived
     assert store.read().collect()[0]["ts"] == 2 * 86_400_000_000
+
+
+def test_entry_and_bucket_info(spark, store):
+    """EntryInfo/BucketInfo parity (entry.rs:215-250): counts reflect the
+    upsert-resolved state, extremes span the entry, size/block_count come
+    from the physical layout, and $meta entries stay out of bucket info."""
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    store.write(spark.createDataFrame(mk_rows("e1", 2), SCHEMA))  # shadows 0,1
+    store.write(spark.createDataFrame(
+        mk_rows("e2", 3, base=86_400_000_000), SCHEMA))
+    store.write_meta("b1", "e1", "k", {"x": "1"})
+
+    e1 = store.entry_info("b1", "e1")
+    assert e1["name"] == "e1" and e1["record_count"] == 5
+    assert e1["oldest_record"] == 0 and e1["latest_record"] == 4_000_000
+    assert e1["size"] > 0 and e1["block_count"] >= 1
+
+    b = store.bucket_info("b1")
+    assert b["entry_count"] == 2          # $meta hidden
+    assert b["record_count"] == 8
+    assert b["oldest_record"] == 0
+    assert b["latest_record"] == 86_400_000_000 + 2_000_000
