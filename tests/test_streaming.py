@@ -134,6 +134,26 @@ def test_windowed_rollup_watermark_late_data(spark, tmp_path):
     assert run(2) == {(0, 2), (2_000_000, 4), (4_000_000, 1)}
 
 
+def test_windowed_rollup_value_label_aggregates(spark, tmp_path):
+    """value_label aggregates parse the label as double per record;
+    missing / non-numeric labels count toward n but not the value
+    aggregates (the condition language's parse-don't-fail posture)."""
+    from reductstore_spark.streaming.rollup import windowed_rollup
+
+    rows = [("b1", "e1", 0, None, "", 1, {"v": "1.5"}, {}),
+            ("b1", "e1", 500_000, None, "", 1, {"v": "2.5"}, {}),
+            ("b1", "e1", 900_000, None, "", 1, {"v": "oops"}, {}),
+            ("b1", "e1", 1_100_000, None, "", 1, {}, {})]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = windowed_rollup(df, window_duration="1 second",
+                          watermark_delay="1 second", value_label="v")
+    got = {r["win_start"]: r for r in out.collect()}
+    w0 = got[0]
+    assert (w0["n"], w0["v_sum"], w0["v_min"], w0["v_max"]) == (3, 4.0, 1.5, 2.5)
+    w1 = got[1_000_000]
+    assert (w1["n"], w1["v_sum"]) == (1, None)
+
+
 def test_stateful_stream_gate_across_batches(spark, tmp_path):
     """$gate's deadline/latch state must survive micro-batch boundaries."""
     root = str(tmp_path / "store")
