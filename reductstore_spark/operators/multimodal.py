@@ -82,6 +82,73 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         run, schema=MEDIA_META_SCHEMA)
 
 
+def resize_stub(df: DataFrame, width: int, height: int,
+                id_col: str = "doc_id") -> DataFrame:
+    """Resize shape: payload -> payload' with target dimensions recorded.
+
+    Stubbed: the output payload is the input truncated/cycled to
+    ``width*height`` bytes (deterministic); a real implementation calls
+    PIL/opencv inside the same batch loop.  Output schema/row-count
+    contract (1:1, payload stays binary, dims in metadata) is the real
+    thing."""
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ])
+    target = width * height
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                raw = bytes(pdf["payload"].iat[i])
+                n = max(1, len(raw))
+                resized = (raw * (target // n + 1))[:target]
+                rows.append({"doc_id": int(pdf[id_col].iat[i]),
+                             "payload": resized,
+                             "width": width, "height": height})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def feature_vector_stub(df: DataFrame, dim: int = 16,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction shape: payload -> array<float> embedding,
+    numpy-vectorized per Arrow batch (the batch loop a real encoder
+    would fill; the stub derives the vector from the content digest so
+    it is deterministic and unit-norm).  Feeds directly into the
+    similarity/ANN operators."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for i in range(len(pdf)):
+                digest = hashlib.sha256(bytes(pdf["payload"].iat[i])).digest()
+                seed = np.frombuffer((digest * (dim * 4 // len(digest) + 1))
+                                     [:dim * 4], dtype=np.uint32)
+                v = (seed.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+                v /= np.linalg.norm(v) or 1.0
+                ids.append(int(pdf[id_col].iat[i]))
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling shape: 1->N expansion per media payload (stubbed:
     one 'frame' per every_n 256-byte chunk, identified by offset)."""

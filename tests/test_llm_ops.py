@@ -108,6 +108,30 @@ def test_media_meta_and_frames(docs):
     assert {r["frame_idx"] for r in rows} == {0}  # tiny payloads: 1 frame each
 
 
+def test_media_resize_and_feature_vectors(docs):
+    """resize keeps the 1:1 row contract with target-dim payloads;
+    feature extraction emits deterministic unit-norm array<float>
+    embeddings that plug straight into the similarity operators."""
+    from reductstore_spark.operators.multimodal import (
+        feature_vector_stub,
+        resize_stub,
+    )
+
+    media = attach_payload(docs)
+    resized = {r["doc_id"]: r for r in resize_stub(media, 8, 4).collect()}
+    assert len(resized) == 4
+    assert all(len(bytes(r["payload"])) == 32 for r in resized.values())
+    assert (resized[1]["width"], resized[1]["height"]) == (8, 4)
+    assert bytes(resized[1]["payload"]) == bytes(resized[4]["payload"])  # dup
+
+    feats = {r["doc_id"]: r["embedding"]
+             for r in feature_vector_stub(media, dim=16).collect()}
+    assert len(feats) == 4 and all(len(v) == 16 for v in feats.values())
+    assert feats[1] == feats[4] and feats[1] != feats[3]  # content-determined
+    import math
+    assert abs(math.fsum(x * x for x in feats[1]) - 1.0) < 1e-3  # unit norm
+
+
 def test_release_caches_leaves_no_retained_rdds(spark, docs):
     """Session-reuse hygiene: queries that persist intermediates must not
     leak storage across queries — release_caches() drops every tracked
