@@ -133,6 +133,29 @@ def test_label_expr_compiled_equivalence_matrix(spark):
         ts: (got_c[ts], got_p[ts]) for ts in got_c if got_c[ts] != got_p[ts]}
 
 
+def test_label_expr_fuzz_compiled_vs_interpreter(spark):
+    """Seeded random expressions over random label rows: the compiled
+    tiers must reproduce the interpreter's computed maps exactly,
+    including which labels are skipped on evaluation errors."""
+    import random
+
+    from tests.test_condition_fuzz import gen_cond, gen_rows
+
+    rng = random.Random(7)
+    rows = gen_rows(rng, 60)
+    rec = spark.createDataFrame(
+        [("b", "e", ts, None, "", 1, labels, None) for ts, labels in rows],
+        SCHEMA)
+    spec = {"label_expr": {
+        "labels": {f"x{i}": gen_cond(rng, 2) for i in range(25)}}}
+    compiled = apply_ext_pipeline(rec, spec, compile_builtin=True)
+    pandas = apply_ext_pipeline(rec, spec, compile_builtin=False)
+    got_c = {r["ts"]: dict(r["computed_labels"]) for r in compiled.collect()}
+    got_p = {r["ts"]: dict(r["computed_labels"]) for r in pandas.collect()}
+    bad = {ts: (got_c[ts], got_p[ts]) for ts in got_p if got_c[ts] != got_p[ts]}
+    assert not bad, list(bad.items())[:2]
+
+
 def test_label_expr_duration_falls_back_to_exact_path(records):
     # duration-valued expressions ($cast to duration / duration consts)
     # display via fmt_duration ("1m 40s"), which only the interpreter
