@@ -173,3 +173,32 @@ def test_winnow_pandas_matches_column_version(spark, sf_dir):
     got = {r["doc_id"]: (r["n_fps"], r["fp_digest"])
            for r in winnow_digests_pandas(docs).collect()}
     assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be a pure execution-shape change: the result set
+    equals the unsalted join, and the salted side's hot key spreads
+    across salt buckets."""
+    from reductstore_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 10)],
+        "k long, payload long")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(10)],
+                                "k long, name string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(skewed, dim, ["k"], salt=8)
+        plain = skewed.join(dim, "k")
+        assert got.count() == plain.count() == 508
+        assert (got.exceptAll(plain).count() == 0
+                and plain.exceptAll(got).count() == 0)
+        # the hot key's rows really do carry >1 distinct salt
+        from pyspark.sql import functions as F
+        n_salt = (skewed.withColumn(
+            "s", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
+                        F.lit(8)))
+            .where(F.col("k") == 1).select("s").distinct().count())
+        assert n_salt > 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
