@@ -28,8 +28,9 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # driver testdata stores events.ts as TIMESTAMP(NANOS) which Spark
-        # only reads as a long (nanoseconds) -- converted to µs in schema.py
+        # testdata timestamp physical types drift between rounds (long
+        # TIMESTAMP(NANOS) vs timestamp[us]); nanosAsLong keeps the nanos
+        # form readable and schema.raw_ts_us dispatches on the actual type
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # label upserts are last-wins everywhere (update_labels, computed
