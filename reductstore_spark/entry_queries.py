@@ -1687,6 +1687,31 @@ FROM w JOIN d USING (w) GROUP BY doc_id
 """
 
 
+def q_join_salted(spark, sf_dir):
+    """Fact-fact join through the salted-skew operator: an n-way salt
+    spreads hot orderkeys over tasks, and because salting is a pure
+    execution-shape change the aggregate must equal the plain join —
+    which is exactly what the oracle asserts."""
+    prep(spark)
+    from .operators.skew import salted_join
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, orders, ["o_orderkey"], salt=8)
+    return (joined.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(dec("l_quantity")).cast("double").alias("sum_qty")))
+
+
+SQL_JOIN_SALTED = """
+SELECT o_orderstatus, count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source corpus profile: document count, total/mean/median/extreme
     lengths — the summary a pipeline operator checks before and after
@@ -1780,4 +1805,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
+    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
 }
