@@ -483,6 +483,33 @@ SELECT entry, ts FROM (
 """
 
 
+def q_ctx_each_n(spark, sf_dir):
+    """#ctx_before composed with a stateful $each_n conjunct — the
+    planner's interpreter tier (ctx + stateful can't window-rewrite),
+    pinned externally: the counter advances only on records passing the
+    predicate, and context rows are the union of 2-before intervals
+    around kept records (ctx_before.rs drain + each_n.rs counter)."""
+    when = {"#ctx_before": 2,
+            "$and": [{"&value": {"$gt": 100}}, {"$each_n": 3}]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_CTX_EACH_N = """
+SELECT entry, ts FROM (
+  SELECT entry, ts,
+    CASE WHEN hit AND cnt % 3 = 0 THEN 1 ELSE 0 END AS k
+  FROM (
+    SELECT event_type AS entry, epoch_us(ts) AS ts, (value > 100) AS hit,
+      sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS cnt
+    FROM events
+  )
+) QUALIFY max(k) OVER (PARTITION BY entry ORDER BY ts
+                       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) = 1
+"""
+
+
 def q_multi_entry(spark, sf_dir):
     """Multi-entry query with glob include/exclude + k-way merge order
     (bucket/query.rs:96-154, 272-282)."""
@@ -1764,6 +1791,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "gate": (q_gate, SQL_GATE),
     "limit": (q_limit, SQL_LIMIT),
     "ctx_padding": (q_ctx_padding, SQL_CTX_PADDING),
+    "ctx_each_n": (q_ctx_each_n, SQL_CTX_EACH_N),
     "ctx_padding_duration": (q_ctx_padding_duration, SQL_CTX_PADDING_DURATION),
     "strict_mode": (q_strict_mode, SQL_STRICT_MODE),
     "ext_pipeline": (q_ext_pipeline, SQL_EXT_PIPELINE),
