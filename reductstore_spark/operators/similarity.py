@@ -53,6 +53,73 @@ def lsh_bucket(vec: Column, planes: Sequence[Sequence[int]]) -> Column:
     return out.cast("long")
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_centroids(df: DataFrame, centroids: Sequence[Sequence[float]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment (ties -> lowest cid): adds ``cid``.
+
+    The centroid table is a broadcast literal — k x dim doubles — so
+    assignment is one embarrassingly parallel pass, no shuffle; the
+    argmin folds as ``array_min`` over (dist, cid) structs (struct
+    ordering = dist then cid, giving the deterministic tie-break)."""
+    pairs = F.array(*[
+        F.struct(
+            sq_dist(F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+            F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    return df.withColumn("cid", F.array_min(pairs)["i"])
+
+
+def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
+                  iters: int = 2, vec_col: str = "embedding"
+                  ) -> List[List[float]]:
+    """Lloyd iterations over a vector corpus: assign (broadcast
+    centroids, no shuffle) then recompute means (posexplode ->
+    one hash aggregate on (cid, pos) with map-side combine; k x dim
+    result rows collect to the driver — centroids are model state, tiny
+    by construction).  Empty clusters keep their previous centroid.
+
+    This is the IVF training path: refined centroids tighten the cells
+    so fewer probes reach the same recall.  Deterministic given the
+    initial centroids — no RNG."""
+    cents = [list(map(float, c)) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = assign_centroids(df, cents, vec_col)
+        rows = (assigned
+                .select("cid", F.posexplode(F.col(vec_col))
+                        .alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .collect())
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["cid"]][r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def inertia(df: DataFrame, centroids: Sequence[Sequence[float]],
+            vec_col: str = "embedding") -> float:
+    """Sum of squared distances to the assigned centroid (the k-means
+    objective) — one pass, used to verify refinement monotonicity."""
+    assigned = assign_centroids(df, centroids, vec_col)
+    pairs = F.array(*[
+        F.struct(sq_dist(F.col(vec_col),
+                         F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    return assigned.select(
+        F.sum(F.array_min(pairs)["d"]).alias("j")).collect()[0]["j"]
+
+
 def brute_force_topk(df: DataFrame, query_vec_df: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of df rows against a single query vector

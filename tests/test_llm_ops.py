@@ -202,3 +202,22 @@ def test_salted_join_matches_plain_join(spark):
         assert n_salt > 1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_kmeans_refine_monotone_inertia(spark, sf_dir):
+    """Lloyd iterations must not increase the k-means objective, and the
+    refined centroids must strictly improve on the naive seed for the
+    real embeddings corpus."""
+    from reductstore_spark.operators.similarity import inertia, kmeans_refine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("embedding")
+    dim = len(emb.first()["embedding"])
+    # naive deterministic seed: 4 corners of a small hypercube slice
+    seed = [[(0.5 if (i >> (d % 4)) & 1 else -0.5) for d in range(dim)]
+            for i in range(4)]
+    j0 = inertia(emb, seed)
+    c1 = kmeans_refine(emb, seed, iters=1)
+    j1 = inertia(emb, c1)
+    c2 = kmeans_refine(emb, c1, iters=1)
+    j2 = inertia(emb, c2)
+    assert j1 < j0 and j2 <= j1, (j0, j1, j2)
