@@ -510,6 +510,32 @@ SELECT entry, ts FROM (
 """
 
 
+def q_ctx_after_each_n(spark, sf_dir):
+    """#ctx_after's emission latch composed with stateful $each_n —
+    the after-side counterpart of ctx_each_n: every record within 2
+    rows AFTER a kept record emits (ctx_after.rs:52-70 latch), kept
+    records decided by the conditional counter."""
+    when = {"#ctx_after": 2,
+            "$and": [{"&value": {"$gt": 100}}, {"$each_n": 3}]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_CTX_AFTER_EACH_N = """
+SELECT entry, ts FROM (
+  SELECT entry, ts,
+    CASE WHEN hit AND cnt % 3 = 0 THEN 1 ELSE 0 END AS k
+  FROM (
+    SELECT event_type AS entry, epoch_us(ts) AS ts, (value > 100) AS hit,
+      sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS cnt
+    FROM events
+  )
+) QUALIFY max(k) OVER (PARTITION BY entry ORDER BY ts
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+"""
+
+
 def q_multi_entry(spark, sf_dir):
     """Multi-entry query with glob include/exclude + k-way merge order
     (bucket/query.rs:96-154, 272-282)."""
@@ -1792,6 +1818,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "limit": (q_limit, SQL_LIMIT),
     "ctx_padding": (q_ctx_padding, SQL_CTX_PADDING),
     "ctx_each_n": (q_ctx_each_n, SQL_CTX_EACH_N),
+    "ctx_after_each_n": (q_ctx_after_each_n, SQL_CTX_AFTER_EACH_N),
     "ctx_padding_duration": (q_ctx_padding_duration, SQL_CTX_PADDING_DURATION),
     "strict_mode": (q_strict_mode, SQL_STRICT_MODE),
     "ext_pipeline": (q_ext_pipeline, SQL_EXT_PIPELINE),
