@@ -18,8 +18,14 @@ Semantics notes (mirroring values.py):
   null iff the value is string-kind ("true"/"false" map to 1/0, so
   cross-type bool==int==float comparisons collapse to double equality);
 * non-strict error policy only needs an error *flag* (errors -> record
-  excluded at top level, even under $not);  strict mode (which must
-  raise with messages) always uses the struct compiler.
+  excluded at top level, even under $not);
+* strict mode (which must raise with the reference's error messages,
+  filters/when.rs:81-95) additionally threads a nullable string
+  ``emsg`` column through every FV — null means no error, otherwise the
+  FIRST error message in evaluation order (mirroring the struct
+  compiler's coalesce folds).  The tracking is only materialized when
+  the compiler is constructed with ``strict=True``, so the dominant
+  non-strict path pays nothing.
 
 Anything not expressible raises ``Unsupported`` and the planner falls
 back to the struct compiler for the whole predicate.
@@ -68,11 +74,19 @@ class FV:
     # like "12"+"34" stays String kind, unlike label leaves where numeric
     # text always parses to Int/Float) — disables _eq's cross-kind shortcut
     may_numeric_str = False
+    # strict mode only: nullable string Column carrying the first error
+    # message in evaluation order (None when the compiler is non-strict
+    # or the node can statically never error)
+    emsg: Optional[Column] = None
 
 
 
 def _err(fv: FV) -> Column:
     return fv.err if fv.err is not None else F.lit(False)
+
+
+def _emsg(fv: FV) -> Column:
+    return fv.emsg if fv.emsg is not None else F.lit(None).cast("string")
 
 
 def _is_float_kind(fv: FV) -> Column:
@@ -161,10 +175,15 @@ class FlatCompiler:
                  computed_labels: Optional[Column] = None,
                  label_columns: Optional[dict] = None,
                  label_fvs: Optional[dict] = None,
-                 computed_fvs: Optional[dict] = None):
+                 computed_fvs: Optional[dict] = None,
+                 strict: bool = False):
         self.ts = ts
         self.labels = labels
         self.computed = computed_labels
+        # strict mode: thread error MESSAGES (FV.emsg) so the top-level
+        # predicate can raise_error with the reference's text instead of
+        # falling back to the interpreted struct compiler
+        self.strict = strict
         # virtual labels: name -> string Column evaluated directly against
         # source columns, skipping the derived-map construction (a mapped
         # source otherwise re-parses/re-builds the map once per reference)
@@ -177,37 +196,76 @@ class FlatCompiler:
     # -- public ----------------------------------------------------------
     def predicate(self, node: Node) -> Column:
         fv = self.compile(node)
+        if self.strict:
+            # filters/when.rs:81-95 — evaluation errors fail the query
+            em = _emsg(fv)
+            return F.when(em.isNotNull(), F.raise_error(em)).otherwise(
+                F.coalesce(_truthy(fv), F.lit(False)))
         return F.coalesce(_truthy(fv) & ~_err(fv), F.lit(False))
 
+    # -- strict-mode message algebra -------------------------------------
+    def _m(self, *parts) -> Optional[Column]:
+        """First-error-wins coalesce of optional message parts; None when
+        the compiler is non-strict (no tracking cost on the hot path)."""
+        if not self.strict:
+            return None
+        cols = [p for p in parts if p is not None]
+        if not cols:
+            return None
+        return cols[0] if len(cols) == 1 else F.coalesce(*cols)
+
+    def _mw(self, cond: Column, msg) -> Optional[Column]:
+        """Conditional message part (null when ``cond`` is false/null)."""
+        if not self.strict:
+            return None
+        return F.when(cond, msg if isinstance(msg, Column) else F.lit(msg))
+
     # -- leaves ----------------------------------------------------------
-    def _label(self, raw: Column) -> FV:
+    def _label(self, raw: Column, missing: Optional[Column] = None) -> FV:
         num, flt = label_parts(raw)
         fv = FV(raw=raw, num=num, err=raw.isNull())
         fv.flt = flt
+        if missing is not None:
+            fv.emsg = self._mw(raw.isNull(), missing)
         return fv
 
-    def _bound(self, parts) -> FV:
+    def _bound(self, parts, missing: Optional[Column] = None) -> FV:
         raw, num, flt = parts
         fv = FV(raw=raw, num=num, err=raw.isNull())
         fv.flt = flt
+        if missing is not None:
+            fv.emsg = self._mw(raw.isNull(), missing)
         return fv
+
+    def _missing(self, sigil: str, name: str) -> Optional[Column]:
+        if not self.strict:
+            return None
+        return F.lit(f"Reference '{sigil}{name}' not found")
 
     def compile(self, node: Node) -> FV:
         if isinstance(node, Const):
             return FV(const=node.value)
         if isinstance(node, LabelRef):
             if node.name in self.label_fvs:
-                return self._bound(self.label_fvs[node.name])
+                return self._bound(self.label_fvs[node.name],
+                                   self._missing("&", node.name))
             if node.name in self.label_columns:
-                return self._label(self.label_columns[node.name])
-            return self._label(F.element_at(self.labels, F.lit(node.name)))
+                return self._label(self.label_columns[node.name],
+                                   self._missing("&", node.name))
+            return self._label(F.element_at(self.labels, F.lit(node.name)),
+                               self._missing("&", node.name))
         if isinstance(node, ComputedRef):
             if node.name in self.computed_fvs:
-                return self._bound(self.computed_fvs[node.name])
+                return self._bound(self.computed_fvs[node.name],
+                                   self._missing("@", node.name))
             if self.computed is None:
-                return FV(const=None, raw=F.lit(None).cast("string"),
-                          num=F.lit(None).cast("double"), err=F.lit(True))
-            return self._label(F.element_at(self.computed, F.lit(node.name)))
+                fv = FV(const=None, raw=F.lit(None).cast("string"),
+                        num=F.lit(None).cast("double"), err=F.lit(True))
+                if self.strict:
+                    fv.emsg = F.lit(f"Reference '@{node.name}' not found")
+                return fv
+            return self._label(F.element_at(self.computed, F.lit(node.name)),
+                               self._missing("@", node.name))
         assert isinstance(node, Op)
         return self._op(node)
 
@@ -224,12 +282,17 @@ class FlatCompiler:
             err = F.lit(False)
             for x in ops:
                 err = err | _err(x)
-            return FV(num=(total == 1).cast("double"), err=err, numeric_only=True)
+            # one_of.rs evaluates every operand — first error in order wins
+            out = FV(num=(total == 1).cast("double"), err=err, numeric_only=True)
+            out.emsg = self._m(*[x.emsg for x in ops])
+            return out
         if name in ("$eq", "$ne"):
             a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
             eq, err = self._eq(a, b)
             val = eq if name == "$eq" else ~eq
-            return FV(num=val.cast("double"), err=err, numeric_only=True)
+            out = FV(num=val.cast("double"), err=err, numeric_only=True)
+            out.emsg = self._m(a.emsg, b.emsg)
+            return out
         if name in ("$gt", "$gte", "$lt", "$lte"):
             a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
             return self._ordering(name, a, b)
@@ -242,6 +305,8 @@ class FlatCompiler:
             a = self.compile(node.operands[0])
             out = FV(num=F.abs(_num_rt(a)), err=_arith_err(a), numeric_only=True)
             out.flt = _is_float_kind(a)
+            out.emsg = self._m(a.emsg, self._mw(
+                _is_str(a), "Cannot calculate absolute value of a string"))
             return out
         if name in ("$contains", "$starts_with", "$ends_with"):
             a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
@@ -249,27 +314,47 @@ class FlatCompiler:
             val = {"$contains": da.contains(db),
                    "$starts_with": da.startswith(db),
                    "$ends_with": da.endswith(db)}[name]
-            return FV(num=val.cast("double"), err=_err(a) | _err(b), numeric_only=True)
+            out = FV(num=val.cast("double"), err=_err(a) | _err(b),
+                     numeric_only=True)
+            out.emsg = self._m(a.emsg, b.emsg)
+            return out
         if name in ("$second", "$minute", "$hour", "$day", "$month", "$year",
                     "$weekday"):
             return self._date(name, node)
         if name == "$exists":
+            # exists.rs: names checked in order; an operand's error only
+            # counts if every earlier name was present and error-free
+            # (the scan stops at the first missing label)
             val = F.lit(True)
             err = F.lit(False)
+            emsg = None
             for o in node.operands:
                 fv = self.compile(o)
-                err = err | _err(fv)
-                val = val & F.coalesce(
+                e_i = F.coalesce(_err(fv), F.lit(False))
+                active = val & ~err
+                err = err | (active & e_i)
+                if self.strict:
+                    emsg = self._m(emsg, self._mw(active, _emsg(fv)))
+                contained = F.coalesce(
                     F.map_contains_key(self.labels, _display(fv)), F.lit(False))
-            return FV(num=val.cast("double"), err=err, numeric_only=True)
+                val = F.when(active & ~e_i, val & contained).otherwise(val)
+            out = FV(num=val.cast("double"), err=err, numeric_only=True)
+            out.emsg = emsg
+            return out
         if name == "$cast":
             return self._cast(node)
         if name == "$ref":
             o = node.operands[0]
             fv = self.compile(o)
             name_col = _display(fv)
-            lbl = self._label(F.element_at(self.labels, name_col))
+            missing = None
+            if self.strict:
+                missing = F.concat(F.lit("Reference '&"), name_col,
+                                   F.lit("' not found"))
+            lbl = self._label(F.element_at(self.labels, name_col), missing)
             lbl.err = lbl.err | _err(fv)
+            # the name expression's own error wins over "not found"
+            lbl.emsg = self._m(fv.emsg, lbl.emsg)
             return lbl
         if name == "$timestamp":
             return FV(num=self.ts.cast("double"), err=F.lit(False), numeric_only=True)
@@ -299,8 +384,11 @@ class FlatCompiler:
         prefix = F.lit(True)   # all earlier operands passed, no err/stop
         err = F.lit(False)
         stopped = F.lit(False)
-        for ok_i, stop_i, e_i in zip(ok, stop, e):
+        emsg = None
+        for x, ok_i, stop_i, e_i in zip(ops, ok, stop, e):
             err = err | (prefix & e_i)
+            if self.strict:
+                emsg = self._m(emsg, self._mw(prefix, _emsg(x)))
             stopped = stopped | (prefix & stop_i)
             prefix = prefix & ok_i
         # $and: true unless some active operand was false ($or dual);
@@ -308,7 +396,9 @@ class FlatCompiler:
         # matching the reference's frozen accumulator
         val = ~stopped if conj else stopped
         out = val if name in ("$and", "$or") else ~val
-        return FV(num=out.cast("double"), err=err, numeric_only=True)
+        res = FV(num=out.cast("double"), err=err, numeric_only=True)
+        res.emsg = emsg
+        return res
 
     def _eq(self, a: FV, b: FV):
         err = _err(a) | _err(b)
@@ -351,8 +441,11 @@ class FlatCompiler:
         if a.const is not None and b.const is not None:
             try:
                 c = V.val_cmp(a.const, b.const)
-            except V.CondError:
-                return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+            except V.CondError as exc:
+                out = FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+                if self.strict:
+                    out.emsg = F.lit(str(exc))
+                return out
             res = {"$gt": c > 0, "$gte": c >= 0, "$lt": c < 0, "$lte": c <= 0}[name]
             return FV(num=F.lit(res).cast("double"), err=base_err, numeric_only=True)
 
@@ -361,6 +454,7 @@ class FlatCompiler:
         err = base_err | F.coalesce(mixed, F.lit(False))
         na, nb = _num_or_null(a), _num_or_null(b)
         num_cmp = op(na, nb)
+        cmp_msg = "Cannot compare string with non-string value"
         if (a.const is not None and a.const.kind == V.STRING) or \
            (b.const is not None and b.const.kind == V.STRING):
             stra = a.raw if a.const is None else F.lit(a.const.val)
@@ -376,20 +470,29 @@ class FlatCompiler:
         for x, n in ((a, na), (b, nb)):
             if x.const is None:
                 nan = nan | F.coalesce(F.isnan(n), F.lit(False))
-        return FV(num=F.coalesce(val & ~nan, F.lit(False)).cast("double"),
-                  err=err | nan, numeric_only=True)
+        out = FV(num=F.coalesce(val & ~nan, F.lit(False)).cast("double"),
+                 err=err | nan, numeric_only=True)
+        out.emsg = self._m(a.emsg, b.emsg,
+                           self._mw(F.coalesce(mixed, F.lit(False)) | nan,
+                                    cmp_msg))
+        return out
 
     def _in(self, name: str, node: Op) -> FV:
         head = self.compile(node.operands[0])
         hit = F.lit(False)
         err = _err(head)
+        emsg = head.emsg
         for o in node.operands[1:]:
             item = self.compile(o)
             eq, e2 = self._eq(head, item)
             err = err | (~hit & e2)  # errors in items scanned before a match
+            if self.strict:
+                emsg = self._m(emsg, self._mw(~hit, _emsg(item)))
             hit = hit | eq
         val = hit if name == "$in" else ~hit
-        return FV(num=val.cast("double"), err=err, numeric_only=True)
+        out = FV(num=val.cast("double"), err=err, numeric_only=True)
+        out.emsg = emsg
+        return out
 
     def _arith(self, name: str, a: FV, b: FV) -> FV:
         if a.const is not None and b.const is not None:
@@ -398,17 +501,34 @@ class FlatCompiler:
                   "$rem": V.val_rem}[name]
             try:
                 return FV(const=fn(a.const, b.const))
-            except V.CondError:
-                return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+            except V.CondError as exc:
+                out = FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+                if self.strict:
+                    out.emsg = F.lit(str(exc))
+                return out
         if name == "$add":
             return self._add(a, b)
+        # side-aware string-operand messages (columns.py struct tier /
+        # value/arithmetic/*.rs): $div distinguishes dividend vs divisor
+        if name in ("$sub", "$mult"):
+            verb = {"$sub": "subtract", "$mult": "multiply"}[name]
+            msg_a = msg_b = f"Cannot {verb} string"
+        elif name == "$rem":
+            msg_a = msg_b = "Cannot divide by string"
+        else:  # $div / $div_num
+            msg_a, msg_b = "Cannot divide string", "Cannot divide by string"
+        str_emsg = self._m(self._mw(_is_str(a), msg_a),
+                           self._mw(_is_str(b), msg_b))
         for x in (a, b):
             if x.const is not None and x.const.kind == V.STRING:
                 # $sub/$mult/$div/$div_num/$rem on a string is always an
                 # evaluation error (values.py val_sub et al.)
-                return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+                out = FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+                out.emsg = self._m(a.emsg, b.emsg, str_emsg)
+                return out
         na, nb = _num_rt(a), _num_rt(b)
         err = _arith_err(a) | _arith_err(b)
+        zero_msg = None
         either_flt = _is_float_kind(a) | _is_float_kind(b)
         out_flt = either_flt
         if name == "$sub":
@@ -417,21 +537,26 @@ class FlatCompiler:
             num = na * nb
         elif name == "$div":
             err = err | (nb == 0.0)
+            zero_msg = self._mw(nb == 0.0, "Cannot divide by zero")
             num = na / nb
             out_flt = F.lit(True)
         elif name == "$div_num":
             # as_int truncation then i64 trunc division
             ta, tb = _trunc(na), _trunc(nb)
             err = err | (tb == 0.0)
+            zero_msg = self._mw(tb == 0.0, "Cannot divide by zero")
             num = _trunc(ta / tb)
             out_flt = F.lit(False)
         else:  # $rem — fmod keeps the dividend's sign, like Rust %
             # int % 0 is an error; float % 0.0 is NaN (IEEE / Rust)
             err = err | ((nb == 0.0) & ~either_flt)
+            zero_msg = self._mw((nb == 0.0) & ~either_flt,
+                                "Cannot divide by zero")
             num = F.when((nb == 0.0) & either_flt, F.lit(float("nan"))) \
                 .otherwise(na % nb)
         out = FV(num=num, err=err, numeric_only=True)
         out.flt = out_flt
+        out.emsg = self._m(a.emsg, b.emsg, str_emsg, zero_msg)
         return out
 
     def _add(self, a: FV, b: FV) -> FV:
@@ -445,11 +570,15 @@ class FlatCompiler:
         out = FV(raw=raw, num=na + nb, err=err)
         out.flt = _is_float_kind(a) | _is_float_kind(b)
         out.may_numeric_str = True
+        out.emsg = self._m(a.emsg, b.emsg,
+                           self._mw(sa != sb, "Cannot add string"))
         return out
 
     def _date(self, name: str, node: Op) -> FV:
         tsv = self.compile(node.operands[0])
         err = _arith_err(tsv)
+        emsg = self._m(tsv.emsg, self._mw(_is_str(tsv),
+                                          "could not be parsed as integer"))
         instant = F.timestamp_micros(_trunc(_num_rt(tsv)).cast("long"))
         if len(node.operands) == 2:
             tz = node.operands[1]
@@ -461,7 +590,9 @@ class FlatCompiler:
         fld = {"$second": F.second, "$minute": F.minute, "$hour": F.hour,
                "$day": F.dayofmonth, "$month": F.month, "$year": F.year}.get(name)
         col = fld(local) if fld else (F.dayofweek(local) + 5) % 7
-        return FV(num=col.cast("double"), err=err, numeric_only=True)
+        out = FV(num=col.cast("double"), err=err, numeric_only=True)
+        out.emsg = emsg
+        return out
 
     def _cast(self, node: Op) -> FV:
         tnode = node.operands[1]
@@ -469,17 +600,72 @@ class FlatCompiler:
             raise Unsupported("dynamic cast target")
         target = tnode.value.val
         a = self.compile(node.operands[0])
+        if a.const is not None:
+            # constant fold through the exact interpreter cast
+            try:
+                return FV(const=V.val_cast(a.const, target))
+            except V.CondError as exc:
+                out = FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+                if self.strict:
+                    out.emsg = F.lit(str(exc))
+                return out
         if target == "bool":
-            return FV(num=_truthy(a).cast("double"), err=_err(a), numeric_only=True)
-        if target in ("int", "duration"):
-            return FV(num=_trunc(_num_rt(a)), err=_arith_err(a), numeric_only=True)
-        if target == "float":
-            out = FV(num=_num_rt(a), err=_arith_err(a), numeric_only=True)
-            out.flt = True
+            out = FV(num=_truthy(a).cast("double"), err=_err(a),
+                     numeric_only=True)
+            out.emsg = a.emsg
             return out
         if target == "string":
-            raise Unsupported("cast to string")  # changes kind to STRING
-        return FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+            # result is String kind: raw = the canonical display text
+            disp = _display(a)  # may raise Unsupported (derived numerics)
+            out = FV(raw=disp, num=F.lit(None).cast("double"), err=_err(a))
+            out.may_numeric_str = True
+            out.emsg = a.emsg
+            return out
+        if target not in ("int", "duration", "float"):
+            out = FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
+            if self.strict:
+                out.emsg = self._m(a.emsg, F.lit(f"Unknown type '{target}'"))
+            return out
+        # numeric targets: a runtime String-kind value parses its TEXT
+        # (value.rs as_int/as_float — cast("77","int") is 77, not an
+        # error); non-string kinds convert numerically.  The parse branch
+        # is only reachable for may_numeric_str values ($add concat /
+        # cast-to-string outputs): a LEAF whose text parses numeric is
+        # already Int/Float kind, so its string-kind text can never parse
+        # — the plain numeric expression (string-kind -> error) is both
+        # correct and much smaller.  Strict mode always takes the parse
+        # branch because the error message must quote the text.
+        parse_path = a.may_numeric_str or (self.strict and not a.numeric_only)
+        s = _is_str(a) if parse_path else None
+        if target == "float":
+            if s is None:
+                out = FV(num=_num_rt(a), err=_arith_err(a), numeric_only=True)
+                out.emsg = a.emsg
+            else:
+                parsed = a.raw.try_cast("double")
+                bad = F.coalesce(s & parsed.isNull(), F.lit(False))
+                out = FV(num=F.when(s, parsed).otherwise(_num_or_null(a)),
+                         err=_err(a) | bad, numeric_only=True)
+                out.emsg = self._m(a.emsg, self._mw(bad, F.concat(
+                    F.lit("Value '"), a.raw,
+                    F.lit("' could not be parsed as float"))))
+            out.flt = True
+            return out
+        # int / duration: strict i64 parse for string text (INT_RE like
+        # _parse_i64), truncate-toward-zero for numeric kinds
+        if s is None:
+            out = FV(num=_trunc(_num_rt(a)), err=_arith_err(a),
+                     numeric_only=True)
+            out.emsg = a.emsg
+            return out
+        parsed = F.when(a.raw.rlike(_INT_RE), a.raw.try_cast("long").cast("double"))
+        bad = F.coalesce(s & parsed.isNull(), F.lit(False))
+        out = FV(num=F.when(s, parsed).otherwise(_trunc(_num_or_null(a))),
+                 err=_err(a) | bad, numeric_only=True)
+        out.emsg = self._m(a.emsg, self._mw(bad, F.concat(
+            F.lit("Value '"), a.raw,
+            F.lit("' could not be parsed as integer"))))
+        return out
 
 
 def _str_repr(fv: FV) -> Column:

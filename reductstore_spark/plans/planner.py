@@ -76,15 +76,16 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
 
 def _predicate(df: DataFrame, node: Node, strict: bool, label_columns=None):
     computed = "computed_labels" if "computed_labels" in df.columns else None
-    if not strict:
-        # flat codegen-able compiler for the common shapes (~100x faster);
-        # strict mode needs error messages -> struct compiler only
-        try:
-            comp = F.col(computed) if computed else None
-            return FlatCompiler(F.col("ts"), F.col("labels"), comp,
-                                label_columns=label_columns).predicate(node)
-        except Unsupported:
-            pass
+    # flat codegen-able compiler for the common shapes (~100x faster);
+    # strict mode threads error messages through the flat tier (FV.emsg)
+    # so it stays on this path too
+    try:
+        comp = F.col(computed) if computed else None
+        return FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                            label_columns=label_columns,
+                            strict=strict).predicate(node)
+    except Unsupported:
+        pass
     return compile_predicate(node, strict=strict, computed_col=computed)
 
 
@@ -102,7 +103,8 @@ def _collect_refs(node: Node, labels=None, computed=None):
     return labels, computed
 
 
-def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None):
+def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None,
+                strict: bool = False):
     """Compile ``nodes`` with the flat compiler over PRE-BOUND leaves.
 
     Every distinct referenced label gets its (raw, num, flt) derivation
@@ -151,7 +153,8 @@ def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None):
     comp = F.col(computed_col) if computed_col else None
     compiler = FlatCompiler(F.col("ts"), F.col("labels"), comp,
                             label_columns=label_columns,
-                            label_fvs=label_fvs, computed_fvs=computed_fvs)
+                            label_fvs=label_fvs, computed_fvs=computed_fvs,
+                            strict=strict)
     preds = [compiler.predicate(n) for n in nodes]  # may raise Unsupported
 
     if not adds:
@@ -172,13 +175,14 @@ def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None):
 def _bound_or_struct(df: DataFrame, node: Node, strict: bool,
                      label_columns=None):
     """(df2, predicate, added_cols): flat compiler over bound leaves when
-    possible, struct compiler otherwise (strict mode / unsupported shapes)."""
-    if not strict:
-        try:
-            bound, preds, added = _flat_bound(df, [node], label_columns)
-            return bound, preds[0], added
-        except Unsupported:
-            pass
+    possible (strict included — it threads error messages), struct
+    compiler otherwise (unsupported shapes)."""
+    try:
+        bound, preds, added = _flat_bound(df, [node], label_columns,
+                                          strict=strict)
+        return bound, preds[0], added
+    except Unsupported:
+        pass
     computed = "computed_labels" if "computed_labels" in df.columns else None
     return df, compile_predicate(node, strict=strict, computed_col=computed), []
 
@@ -264,13 +268,10 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
     pref_node = Op("$and", list(prefix))
     rest_node = Op("$and", list(rest))
     added = []
-    if not strict:
-        try:
-            df, (pref_pred, rest_pred), added = _flat_bound(
-                df, [pref_node, rest_node], label_columns)
-        except Unsupported:
-            pref_pred = rest_pred = None
-    else:
+    try:
+        df, (pref_pred, rest_pred), added = _flat_bound(
+            df, [pref_node, rest_node], label_columns, strict=strict)
+    except Unsupported:
         pref_pred = rest_pred = None
     if pref_pred is None:
         computed = "computed_labels" if "computed_labels" in df.columns else None

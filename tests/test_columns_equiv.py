@@ -70,6 +70,22 @@ CONDS = [
     '{"$or": [{"$eq": [{"$add": ["&label", "&status"]}, 1]}, true]}',
     '{"$starts_with": ["&label", "4"]}',
     '{"$ends_with": ["&label", "2"]}',
+    # $cast of string-kind text parses it (cast.rs via value.rs as_int/
+    # as_float) — regression: the flat tier used to error on these
+    '{"$eq": [{"$cast": ["77", "int"]}, 77]}',
+    '{"$eq": [{"$cast": ["7.5", "float"]}, 7.5]}',
+    '{"$eq": [{"$cast": [{"$add": ["12", "34"]}, "int"]}, 1234]}',
+    '{"$eq": [{"$cast": ["&status", "string"]}, "ok"]}',
+    '{"$eq": [{"$cast": ["&score", "string"]}, "55.5"]}',
+    '{"$eq": [{"$cast": ["&label", "string"]}, "10"]}',
+    '{"$eq": [{"$cast": [{"$cast": ["&label", "string"]}, "int"]}, 10]}',
+    '{"$contains": [{"$cast": ["&score", "string"]}, "."]}',
+    '{"$gt": [{"$cast": ["&status", "int"]}, 1]}',   # parse error -> false
+    '{"$eq": [{"$cast": ["&flag", "string"]}, "true"]}',
+    # $exists error gating: later-operand evaluation stops at the first
+    # missing name (exists.rs fold)
+    '{"$not": [{"$exists": ["nope", "flag"]}]}',
+    '{"$exists": ["flag", "nope"]}',
 ]
 
 
@@ -139,3 +155,57 @@ def test_strict_mode_raises_jvm_side(spark):
     with pytest.raises(Exception, match="not found"):
         compile_filter(df, node, strict=True, computed_col=None).count()
     assert compile_filter(df, node, computed_col=None).count() == 0
+
+
+# strict cases: (condition, expected error-message fragment or None)
+STRICT_CASES = [
+    ({"&nope": {"$gt": 1}}, "Reference '&nope' not found"),
+    ({"&label": {"$gt": 1}}, None),
+    ({"$gt": ["&status", 1]}, "Cannot compare string with non-string value"),
+    ({"$eq": [{"$div": ["&label", 0]}, 1]}, "Cannot divide by zero"),
+    ({"$eq": [{"$add": ["&status", "&label"]}, 1]}, "Cannot add string"),
+    ({"$eq": [{"$sub": ["&status", 1]}, 1]}, "Cannot subtract string"),
+    ({"$eq": [{"$cast": ["&status", "int"]}, 1]},
+     "Value 'ok' could not be parsed as integer"),
+    ({"$gt": [{"$abs": ["&status"]}, 1]},
+     "Cannot calculate absolute value of a string"),
+    ({"$eq": [{"$ref": ["missing"]}, 1]}, "Reference '&missing' not found"),
+    # short-circuit: the erroring operand is never evaluated
+    ({"$and": [False, {"&nope": {"$gt": 1}}]}, None),
+    ({"$or": [True, {"$div": [1, 0]}]}, None),
+]
+
+
+def test_strict_flat_tier_matches_struct_tier(spark):
+    """Strict mode on the FLAT (whole-stage-codegen) tier must raise for
+    exactly the same conditions as the struct tier, with the same
+    message (filters/when.rs:81-95 error policy)."""
+    from reductstore_spark.condition.fastcols import FlatCompiler, Unsupported
+
+    # a row where 'status' is a plain string and 'label' is numeric
+    df = spark.createDataFrame(
+        [(0, {"label": "10", "status": "ok", "flag": "true"})],
+        "ts long, labels map<string,string>").coalesce(1)
+
+    for when, frag in STRICT_CASES:
+        node, _ = parse_when(when)
+        pred = FlatCompiler(F.col("ts"), F.col("labels"),
+                            strict=True).predicate(node)
+
+        def outcome(p):
+            try:
+                df.select(p.alias("p")).collect()
+                return None
+            except Exception as e:  # noqa: BLE001
+                return str(e)
+
+        flat_err = outcome(pred)
+        struct_err = outcome(
+            ColumnCompiler(F.col("ts"), F.col("labels"))
+            .predicate(node, strict=True))
+        if frag is None:
+            assert flat_err is None, (when, flat_err)
+            assert struct_err is None, (when, struct_err)
+        else:
+            assert flat_err and frag in flat_err, (when, flat_err)
+            assert struct_err and frag in struct_err, (when, struct_err)
