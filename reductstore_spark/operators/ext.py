@@ -41,7 +41,8 @@ def extension_names() -> List[str]:
 
 
 def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False,
-                       compile_builtin: bool = True) -> DataFrame:
+                       compile_builtin: bool = True,
+                       label_columns=None) -> DataFrame:
     """Run the extension pipeline over a records DataFrame.
 
     ``ext_spec``: dict (one step) or list of step dicts; each step is
@@ -67,7 +68,7 @@ def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False,
             raise CondError(f"Extension '{name}' is not registered")
         compiled = None
         if compile_builtin and name == "label_expr":
-            compiled = _label_expr_compiled(df, params)
+            compiled = _label_expr_compiled(df, params, label_columns)
         if compiled is not None:
             df = compiled
             if when is not None:
@@ -93,7 +94,8 @@ def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False,
             # per-step when filters are ALWAYS strict in the reference
             # (ext_repository.rs:140-147 builds WhenFilter with strict=true;
             # an evaluation error fails the query, not just the record)
-            df = plan_parsed(df, node, directives, strict=True)
+            df = plan_parsed(df, node, directives, strict=True,
+                             label_columns=label_columns)
     return df
 
 
@@ -148,7 +150,8 @@ _NUM_OPS = {"$sub", "$mult", "$div", "$div_num", "$rem", "$abs", "$second",
             "$timestamp"}
 
 
-def _flat_value_display(node, labels: Column, computed: Column) -> Column:
+def _flat_value_display(node, labels: Column, computed: Column,
+                        label_columns=None) -> Column:
     """Compile a label_expr expression through the FLAT (whole-stage-
     codegen) tier and render its canonical display string, null on
     evaluation error.  Raises fastcols.Unsupported outside the tier."""
@@ -156,7 +159,8 @@ def _flat_value_display(node, labels: Column, computed: Column) -> Column:
     from ..condition.ast import Const, Op
     from ..condition import fastcols as FC
 
-    fv = FC.FlatCompiler(F.col("ts"), labels, computed).compile(node)
+    fv = FC.FlatCompiler(F.col("ts"), labels, computed,
+                         label_columns=label_columns).compile(node)
     err = FC._err(fv)
 
     kind = None
@@ -189,7 +193,8 @@ def _flat_value_display(node, labels: Column, computed: Column) -> Column:
     return F.when(~F.coalesce(err, F.lit(False)), disp)
 
 
-def _label_expr_compiled(df: DataFrame, params) -> Optional[DataFrame]:
+def _label_expr_compiled(df: DataFrame, params,
+                         label_columns=None) -> Optional[DataFrame]:
     """Column-compiled ``label_expr``: each expression becomes a tagged
     struct value; on evaluation error the label is skipped for that
     record (the interpreter's try/except-pass), otherwise its canonical
@@ -213,10 +218,13 @@ def _label_expr_compiled(df: DataFrame, params) -> Optional[DataFrame]:
 
     def make_disp(node, base: Column):
         """Display Column for the expression (null = error): FLAT
-        codegen tier first, tagged-struct tier as the general
-        fallback."""
+        codegen tier first (bound against the source's virtual label
+        columns when available — reading ``&value`` then costs a column
+        reference, not a per-row labels-map construction), tagged-struct
+        tier as the general fallback."""
         try:
-            return _flat_value_display(node, F.col("labels"), base)
+            return _flat_value_display(node, F.col("labels"), base,
+                                       label_columns)
         except Exception:
             pass
         cc = ColumnCompiler(F.col("ts"), F.col("labels"), base)

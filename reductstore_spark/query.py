@@ -57,7 +57,8 @@ class QueryEngine:
                 ext = [_json.loads(v.val) for v in directives["#ext"]]
         if ext is not None:
             from .operators.ext import apply_ext_pipeline
-            df = apply_ext_pipeline(df, ext, strict)
+            df = apply_ext_pipeline(df, ext, strict,
+                                    label_columns=label_columns)
         if only_metadata:
             df = df.withColumn("payload", F.lit(None).cast("binary"))
         if ordered:
