@@ -1791,6 +1791,151 @@ FROM documents GROUP BY source
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing: documents concatenate into <=256-token
+    training packs per source (operators/packing.py).  The running
+    cumulative-tokens-with-reset state is the same stateful-scan shape
+    as $each_t — applyInPandas per group, but only (id, n_tokens) rides
+    through Arrow; the oracle replays the walk with a recursive CTE."""
+    prep(spark)
+    from .operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ')) AS BIGINT) AS n_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, doc_id, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+         n_tokens AS cum
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.rn, d.n_tokens,
+         CASE WHEN w.cum > 0 AND w.cum + d.n_tokens > 256
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.cum > 0 AND w.cum + d.n_tokens > 256
+              THEN 0 ELSE w.cum END,
+         CASE WHEN w.cum > 0 AND w.cum + d.n_tokens > 256
+              THEN d.n_tokens ELSE w.cum + d.n_tokens END
+  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tokens, pack_id, pack_offset FROM walk
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking: 32-token windows every 16 tokens per
+    document (operators/packing.py) — the RAG/retrieval indexing pass.
+    Stateless posexplode over window starts; no Python, no shuffle."""
+    prep(spark)
+    from .operators.packing import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=32, stride=16)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), starts AS (
+  -- final start clamps to len-31 so the tail window reaches the end
+  SELECT doc_id, ws,
+    least(unnest(generate_series(1, greatest(len(ws) - 32 + 16, 1), 16)),
+          greatest(len(ws) - 31, 1)) AS s,
+    generate_subscripts(generate_series(1, greatest(len(ws) - 32 + 16, 1), 16),
+                        1) - 1 AS chunk_id
+  FROM w
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(ws, s, s + 31)) AS BIGINT) AS chunk_tokens,
+  md5(array_to_string(list_slice(ws, s, s + 31), ' ')) AS chunk_hash
+FROM starts
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 20 vectors per class,
+    selected by content-independent hash order of the id (reproducible
+    across runs/engines/cluster sizes; no RNG).  Per-class window
+    partitions — parallel across classes, never a global sort."""
+    prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (emb.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 20)
+            .select("vec_id", F.col("label").cast("long").alias("label"),
+                    F.col("rn").cast("long").alias("rn")))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT vec_id, label,
+    row_number() OVER (PARTITION BY label
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings
+) WHERE rn <= 20
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: tf from one explode+aggregate,
+    document frequency from a second aggregate over the same shuffle key
+    (word), score = tf * ln(N/df) rounded to 6 decimals, per-doc window
+    ranking with a lexicographic tiebreak.
+
+    Scale shape: both aggregates combine map-side; the tf-df join keys on
+    word (the df side is vocabulary-sized, broadcastable); the ranking
+    window partitions by doc — no global sort anywhere."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, O(metadata) — the corpus row count
+    w = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)))
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "term", "tf", "df", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+SQL_TFIDF_TOPK = r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+), d AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT doc_id, term, tf, df,
+    round(tf * ln(n_docs / df::DOUBLE), 6) AS score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(tf * ln(n_docs / df::DOUBLE), 6) DESC,
+                                term) AS rank
+  FROM tf JOIN d USING (term) CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1861,4 +2006,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }

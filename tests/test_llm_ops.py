@@ -221,3 +221,49 @@ def test_kmeans_refine_monotone_inertia(spark, sf_dir):
     c2 = kmeans_refine(emb, c1, iters=1)
     j2 = inertia(emb, c2)
     assert j1 < j0 and j2 <= j1, (j0, j1, j2)
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from reductstore_spark.operators.packing import pack_sequences
+
+    rows = [
+        # source a, ordered by doc_id: token counts 3, 4, 5, 10, 2
+        (1, "a", "w w w"),
+        (2, "a", "w w w w"),
+        (3, "a", "w w w w w"),
+        (4, "a", " ".join(["w"] * 10)),   # larger than budget -> own pack
+        (5, "a", "w w"),
+        (6, "b", "w"),                    # other group starts at pack 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+           for r in pack_sequences(docs, budget=8).collect()}
+    assert out[1] == (0, 0, 3)
+    assert out[2] == (0, 3, 4)   # 3+4=7 <= 8 stays
+    assert out[3] == (1, 0, 5)   # 7+5 > 8 -> new pack
+    assert out[4] == (2, 0, 10)  # oversized doc: alone in its own pack
+    assert out[5] == (3, 0, 2)   # 10+2 > 8 with cum>0 -> next pack
+    assert out[6] == (0, 0, 1)   # group b independent
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+
+
+def test_chunk_documents_windows(spark):
+    from reductstore_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7))),  # 7 tokens
+         (2, "a b")],                               # shorter than window
+        "doc_id long, text string")
+    rows = chunk_documents(docs, window=4, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk_tokens"] for r in rows}
+    # doc 1 (7 tokens): starts 1,3 then the tail start clamps to 4 so
+    # t6 is covered — every token lands in at least one chunk
+    assert got == {(1, 0): 4, (1, 1): 4, (1, 2): 4, (2, 0): 2}
+    # chunk hash = md5 of the joined slice
+    import hashlib
+    h = {(r["doc_id"], r["chunk_id"]): r["chunk_hash"] for r in rows}
+    assert h[(1, 1)] == hashlib.md5(b"t2 t3 t4 t5").hexdigest()
+    assert h[(1, 2)] == hashlib.md5(b"t3 t4 t5 t6").hexdigest()
+    assert h[(2, 0)] == hashlib.md5(b"a b").hexdigest()
