@@ -17,9 +17,15 @@ Tiers (fastest first):
    padding: the counter increments only when the preceding conjuncts are
    truthy (AllOf short-circuits, all_of.rs), so a running
    sum-of-prefix-matches over a ts-ordered per-entry window replays it.
-4. **Interpreter path** — anything else ($each_t, $gate, stateful ops
-   nested under non-conjunctive logic, ctx+$limit interplay): exact
-   per-entry ordered replay via applyInPandas (operators/stateful.py).
+4. **Vectorized time-stateful walk** — top-level $and with exactly one
+   stateful conjunct that is $each_t(const) or $gate(const, stateless
+   input) and no ctx padding: stateless parts compile to JVM Columns,
+   the per-entry walk sees only (ts, pref[, inp, ierr]) primitives, and
+   kept keys semi-join back on (bucket, entry, ts) — the record ID.
+5. **Interpreter path** — anything else (stateful ops nested under
+   non-conjunctive logic, non-const operands, ctx+stateful interplay):
+   exact per-entry ordered replay via applyInPandas
+   (operators/stateful.py).
 """
 
 from __future__ import annotations
@@ -68,6 +74,9 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
 
     if not has_ctx:
         rewritten = _rewrite_counter_conjunct(df, node, strict, label_columns)
+        if rewritten is not None:
+            return _select_labels(rewritten, directives)
+        rewritten = _rewrite_time_stateful(df, node, strict, label_columns)
         if rewritten is not None:
             return _select_labels(rewritten, directives)
 
@@ -291,3 +300,98 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
         .where(F.col("__pref") & F.col("__sf") & rest_pred)
         .drop("__pref", "__sf", *added)
     )
+
+
+def _rewrite_time_stateful(df: DataFrame, node: Node, strict: bool,
+                           label_columns=None) -> Optional[DataFrame]:
+    """Vectorized tier for a single top-level $each_t/$gate conjunct.
+
+    The interpreter tier ships whole records through Arrow and JSON-parses
+    labels per row; for the dominant shape — ``$and`` whose only stateful
+    member is ``$each_t(const)`` or ``$gate(const, stateless-input)`` —
+    the stateless parts compile to JVM Columns and the per-entry walk
+    (operators/stateful.py each_t_keys/gate_keys) only sees
+    (ts, pref[, inp, ierr]) primitives; the kept keys then semi-join
+    back against the full rows on (bucket, entry, ts) — exact because
+    the timestamp IS the record ID within an entry (storage.proto:38).
+
+    Evaluation-order parity with the reference's AllOf short-circuit:
+
+    * ``__pref`` (all earlier conjuncts truthy and error-free) gates the
+      state machine — the stateful node's state mutates only when
+      evaluation reaches it;
+    * the trailing conjuncts apply as a filter AFTER the semi-join, so
+      they are (strictly or not) evaluated only for records where the
+      stateful op passed — exactly when the reference evaluates them.
+    """
+    if not (isinstance(node, Op) and node.name == "$and"):
+        return None
+    stateful_idx = [i for i, c in enumerate(node.operands) if is_stateful(c)]
+    if len(stateful_idx) != 1:
+        return None
+    i = stateful_idx[0]
+    sf = node.operands[i]
+    if not (isinstance(sf, Op) and sf.name in ("$each_t", "$gate")):
+        return None
+    if not (sf.operands and isinstance(sf.operands[0], Const)):
+        return None
+    inp_node = None
+    if sf.name == "$gate":
+        if len(sf.operands) != 2:
+            return None
+        inp_node = sf.operands[1]
+        if is_stateful(inp_node):
+            return None
+
+    # plan-time period derivation, mirroring interpreter._apply_each_t /
+    # _apply_gate exactly (Rust `as u64` saturation for each_t)
+    v = sf.operands[0].value
+    try:
+        if sf.name == "$each_t":
+            s = V.as_float(v) / 1e6 if v.kind == V.DURATION else V.as_float(v)
+            thresh = s * 1e6
+            period_us = 0 if (thresh != thresh or thresh < 0) else int(thresh)
+        else:
+            dur = V.as_int(v) if v.kind == V.DURATION \
+                else int(V.as_float(v) * 1e6)
+            period_us = max(0, dur)
+    except CondError:
+        return None  # operand errors per-record -> interpreter replays it
+
+    computed = "computed_labels" if "computed_labels" in df.columns else None
+    comp = F.col(computed) if computed else None
+    pref_node = Op("$and", list(node.operands[:i]))
+    rest_node = Op("$and", list(node.operands[i + 1:]))
+    try:
+        fc = FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                          label_columns=label_columns, strict=strict)
+        pref_pred = fc.predicate(pref_node)
+        cols = [F.col("bucket"), F.col("entry"), F.col("ts"),
+                pref_pred.alias("__pref")]
+        if inp_node is not None:
+            if strict:
+                # input errors raise — but only for records the gate
+                # actually evaluates (When short-circuits per row)
+                inp_col = F.when(pref_pred, fc.predicate(inp_node)) \
+                    .otherwise(F.lit(False))
+                ierr_col = F.lit(False)
+            else:
+                nfc = FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                                   label_columns=label_columns)
+                fv = nfc.compile(inp_node)
+                from ..condition.fastcols import _err, _truthy
+                inp_col = F.coalesce(_truthy(fv), F.lit(False))
+                ierr_col = F.coalesce(_err(fv), F.lit(False))
+            cols += [inp_col.alias("__inp"), ierr_col.alias("__ierr")]
+    except Unsupported:
+        return None
+
+    from ..operators.stateful import each_t_keys, gate_keys
+    keys = df.select(*cols)
+    kept = (each_t_keys(keys, period_us) if sf.name == "$each_t"
+            else gate_keys(keys, period_us))
+    joined = df.join(kept, ["bucket", "entry", "ts"], "left_semi")
+    df2, rest_pred, added = _bound_or_struct(joined, rest_node, strict,
+                                             label_columns)
+    out = df2.where(rest_pred)
+    return out.drop(*added) if added else out

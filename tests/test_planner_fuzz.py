@@ -40,8 +40,14 @@ def gen_when(rng):
     stateful = [
         {"$each_n": rng.randrange(2, 5)},
         {"$each_t": round(rng.uniform(0.1, 1.0), 2)},
+        {"$each_t": f"{rng.randrange(100, 800)}ms"},
         {"$limit": rng.randrange(3, 12)},
         {"$gate": [f"{rng.randrange(200, 900)}ms", rng.choice(preds)]},
+        # erroring input: &nolbl is missing on every record, so the gate's
+        # input evaluation fails per record (record excluded, partial
+        # state update) — exercises the __ierr path of the walk tier
+        {"$gate": [f"{rng.randrange(200, 900)}ms",
+                   {"$or": [{"&v": {"$gt": 50}}, {"&nolbl": {"$gt": 1}}]}]},
     ]
     shape = rng.random()
     when = {}
