@@ -76,6 +76,124 @@ def apply_when_stateful(
 
 
 # ---------------------------------------------------------------------------
+# Slim interpreter: precompute stateless boolean subtrees as JVM Columns,
+# run the EXACT WhenFilter over (ts, p0..pk) primitives only
+# ---------------------------------------------------------------------------
+
+
+class _SlimUnsupported(Exception):
+    pass
+
+
+def _slimify(node: Node, preds_out: list) -> Node:
+    """Rewrite the AST: every maximal stateless subtree in a BOOLEAN
+    position becomes a reference to a precomputed virtual label
+    ``__p<i>`` ("true"/"false", ABSENT when the subtree errored — a
+    missing label raises exactly where the original evaluation would).
+    Stateful structure (and therefore all evaluation-order side effects)
+    is preserved verbatim.  Raises _SlimUnsupported for shapes whose
+    stateless parts sit in value positions (stateful operands that are
+    not constants, stateful ops under comparisons)."""
+    from ..condition.ast import Const, LabelRef, Op, is_stateful
+
+    if not is_stateful(node):
+        idx = len(preds_out)
+        preds_out.append(node)
+        return LabelRef(f"__p{idx}")
+    if isinstance(node, Op):
+        if node.name in ("$and", "$or", "$not", "$xor"):
+            return Op(node.name, [_slimify(o, preds_out) for o in node.operands])
+        if node.name in ("$each_n", "$each_t", "$limit"):
+            if not all(isinstance(o, Const) for o in node.operands):
+                raise _SlimUnsupported(node.name)
+            return node
+        if node.name == "$gate":
+            if not isinstance(node.operands[0], Const):
+                raise _SlimUnsupported("$gate duration")
+            return Op("$gate", [node.operands[0],
+                                _slimify(node.operands[1], preds_out)])
+    raise _SlimUnsupported(getattr(node, "name", type(node).__name__))
+
+
+def apply_when_stateful_slim(
+    df: DataFrame,
+    node: Node,
+    directives: Dict[str, List[Value]],
+    strict: bool = False,
+    label_columns=None,
+) -> Optional[DataFrame]:
+    """Slim-record WhenFilter replay; None when the shape doesn't fit.
+
+    The full interpreter path (above) ships every column through Arrow
+    and JSON-parses the labels map per record.  Here the stateless
+    subtrees evaluate JVM-side (flat compiler), the Python stage sees
+    only (bucket, entry, ts, __p0..__pk) and runs the UNchanged
+    WhenFilter — ctx paddings, $limit interrupt and arbitrary stateful
+    nesting all behave identically — and the kept keys semi-join back
+    on (bucket, entry, ts), the record ID.  Non-strict only: the
+    virtual-label indirection would change strict error messages.
+    """
+    if strict:
+        return None
+    if directives.get("#select_labels") is not None:
+        # WhenFilter applies label projection on emit; the slim records
+        # carry no labels to project — use the full path
+        return None
+    from pyspark.sql import functions as _F
+
+    from ..condition.fastcols import FlatCompiler, Unsupported, _err, _truthy
+
+    preds: List[Node] = []
+    try:
+        slim_node = _slimify(node, preds)
+    except _SlimUnsupported:
+        return None
+
+    computed = "computed_labels" if "computed_labels" in df.columns else None
+    comp = _F.col(computed) if computed else None
+    fc = FlatCompiler(_F.col("ts"), _F.col("labels"), comp,
+                      label_columns=label_columns)
+    cols = [_F.col("bucket"), _F.col("entry"), _F.col("ts")]
+    try:
+        for i, p in enumerate(preds):
+            fv = fc.compile(p)
+            val = (_F.when(_F.coalesce(_err(fv), _F.lit(False)),
+                           _F.lit(None).cast("string"))
+                   .when(_F.coalesce(_truthy(fv), _F.lit(False)), "true")
+                   .otherwise("false"))
+            cols.append(val.alias(f"__p{i}"))
+    except Unsupported:
+        return None
+
+    np_ = len(preds)
+    dirs = dict(directives)
+
+    def run(pdf):
+        pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        wf = WhenFilter(slim_node, dirs, False)
+        keep: List[int] = []
+        pcols = [pdf[f"__p{j}"] for j in range(np_)]
+        ts_col = pdf["ts"]
+        for i in range(len(pdf)):
+            labels = {}
+            for j in range(np_):
+                v = pcols[j].iat[i]
+                if v is not None:
+                    labels[f"__p{j}"] = v
+            emitted = wf.feed(FilterRecord(int(ts_col.iat[i]), labels, {},
+                                           extra=i))
+            if emitted is None:  # $limit Interrupt
+                break
+            keep.extend(r.extra for r in emitted)
+        base = pdf.iloc[keep] if keep else pdf.iloc[0:0]
+        return base[["bucket", "entry", "ts"]]
+
+    kept = df.select(*cols).groupBy("bucket", "entry").applyInPandas(
+        run, schema="bucket string, entry string, ts long")
+    return df.join(kept, ["bucket", "entry", "ts"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
 # Vectorized time-stateful walks ($each_t / $gate fast tier)
 #
 # The general interpreter above ships EVERY column through Arrow and runs

@@ -41,7 +41,7 @@ from ..condition.columns import ColumnCompiler, compile_predicate
 from ..condition.fastcols import FlatCompiler, Unsupported, label_parts
 from ..condition.parser import parse_when
 from ..condition.values import CondError, Value
-from ..operators.stateful import apply_when_stateful
+from ..operators.stateful import apply_when_stateful, apply_when_stateful_slim
 
 _PARTITION_COLS = ("bucket", "entry")
 
@@ -79,6 +79,14 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
         rewritten = _rewrite_time_stateful(df, node, strict, label_columns)
         if rewritten is not None:
             return _select_labels(rewritten, directives)
+
+    # slim interpreter: exact WhenFilter over precomputed (ts, p0..pk)
+    # primitives — covers ctx+stateful interplay without shipping whole
+    # records through Arrow
+    slim = apply_when_stateful_slim(df, node, directives, strict,
+                                    label_columns)
+    if slim is not None:
+        return _select_labels(slim, directives)
 
     return apply_when_stateful(df, node, directives, strict)
 
