@@ -1936,6 +1936,61 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8-style scalar quantization of the embedding column: global
+    per-dimension [min, max] ranges (a dimension-count-sized table —
+    broadcast), code = floor((x-mn)/(mx-mn)*255 + .5), plus the exact
+    per-vector reconstruction error (squared-error terms cast to DECIMAL
+    so the sum is associative — order-proof under any aggregation plan).
+
+    Scale shape: one posexplode shuffle keyed by dimension for the stats
+    (64 groups, map-side combined), a broadcast join back, one per-vec
+    aggregate.  The quantized corpus is what an ANN serving tier ships
+    to memory-constrained searchers — 4x smaller than float32."""
+    prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"))
+    st = dims.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    j = dims.join(F.broadcast(st), "d")
+    rng = F.col("mx") - F.col("mn")
+    code = F.when(rng == 0, F.lit(0)).otherwise(
+        F.floor((F.col("x") - F.col("mn")) / rng * 255 + 0.5)).cast("long")
+    deq = F.col("mn") + code.cast("double") * rng / 255.0
+    sq = (F.col("x") - deq) * (F.col("x") - deq)
+    return (j.select("vec_id", code.alias("code"),
+                     sq.cast("decimal(30,15)").alias("sq"))
+            .groupBy("vec_id")
+            .agg(F.sum("code").alias("qsum"),
+                 F.min("code").alias("qmin"),
+                 F.max("code").alias("qmax"),
+                 F.round(F.sum("sq"), 6).cast("double").alias("recon_err")))
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH dims AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d),
+j AS (
+  SELECT vec_id, x, mn, mx,
+    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+    END AS code
+  FROM dims JOIN st USING (d)
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS qsum,
+  min(code) AS qmin, max(code) AS qmax,
+  CAST(round(sum(CAST(
+      (x - (mn + code * (mx - mn) / 255.0))
+    * (x - (mn + code * (mx - mn) / 255.0)) AS DECIMAL(30,15))), 6) AS DOUBLE)
+    AS recon_err
+FROM j GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2010,4 +2065,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }
