@@ -1936,6 +1936,103 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Training-data decontamination: flag training documents sharing any
+    3-gram with the held-out evaluation set (here: doc_id % 97 == 0, the
+    deterministic stand-in for a benchmark suite).
+
+    Scale shape: the eval-side distinct-shingle set is benchmark-sized —
+    broadcast; the training side streams its exploded shingles through
+    one codegen'd join + per-doc count, so the corpus is never shuffled
+    on anything wider than (doc_id, shingle)."""
+    prep(spark)
+    from .operators.dedup import exploded_shingles
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    evald = docs.where(F.col("doc_id") % 97 == 0)
+    sh_t = exploded_shingles(train, "doc_id", "text", 3)
+    sh_e = exploded_shingles(evald, "doc_id", "text", 3).select("s").distinct()
+    shared = (sh_t.join(F.broadcast(sh_e), "s")
+              .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared")))
+    n = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
+    return (train.select("doc_id")
+            .join(shared.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id", n.alias("n_shared"),
+                    (n > 0).alias("contaminated")))
+
+
+SQL_DECONTAMINATE = r"""
+WITH ws AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), sht AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS s
+  FROM ws WHERE doc_id % 97 != 0
+), ev AS (
+  SELECT DISTINCT unnest(list_distinct(
+    [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS s
+  FROM ws WHERE doc_id % 97 = 0
+), shared AS (
+  SELECT doc_id, count(*) AS n_shared FROM sht JOIN ev USING (s)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(n_shared, 0) AS n_shared,
+  coalesce(n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) t
+LEFT JOIN shared USING (doc_id)
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Within-document repetition score: fraction of duplicated 3-grams
+    (Gopher-style repetition quality signal — templated/spammy text has
+    a high duplicate-gram fraction).  Pure codegen: posexplode + lead
+    window per doc, one aggregate; integer counts plus one rounded
+    ratio, so the oracle compare is effectively exact."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(normalized_words(F.col("text"))).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    g = (w.select("doc_id", F.concat_ws(" ", F.col("w"), l1, l2).alias("g"),
+                  l2.alias("__last"))
+         .where(F.col("__last").isNotNull()))
+    agg = (g.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.count_distinct(F.col("g")).alias("n_distinct")))
+    rep = F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6)
+    return (docs.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+                    F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+                    F.coalesce(rep, F.lit(0.0)).alias("rep_frac")))
+
+
+SQL_REPETITION = r"""
+WITH ws AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS g
+  FROM ws
+), agg AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+  coalesce(n_distinct, 0) AS n_distinct,
+  coalesce(round(1 - n_distinct / n_grams::DOUBLE, 6), 0.0) AS rep_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Int8-style scalar quantization of the embedding column: global
     per-dimension [min, max] ranges (a dimension-count-sized table —
@@ -2066,4 +2163,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition": (q_repetition, SQL_REPETITION),
 }
