@@ -485,10 +485,11 @@ SELECT entry, ts FROM (
 
 def q_ctx_each_n(spark, sf_dir):
     """#ctx_before composed with a stateful $each_n conjunct — the
-    planner's interpreter tier (ctx + stateful can't window-rewrite),
-    pinned externally: the counter advances only on records passing the
-    predicate, and context rows are the union of 2-before intervals
-    around kept records (ctx_before.rs drain + each_n.rs counter)."""
+    counter window composes with the ctx propagation window (both
+    JVM-side; the counter is ctx-independent): the counter advances only
+    on records passing the predicate, and context rows are the union of
+    2-before intervals around kept records (ctx_before.rs drain +
+    each_n.rs counter)."""
     when = {"#ctx_before": 2,
             "$and": [{"&value": {"$gt": 100}}, {"$each_n": 3}]}
     return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,

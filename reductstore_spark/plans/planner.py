@@ -58,6 +58,7 @@ def plan_when(df: DataFrame, when, strict: bool = False) -> DataFrame:
 
 def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
                 strict: bool = False, label_columns=None) -> DataFrame:
+    node = _flatten_and(node)
     ctx_before = directives.get("#ctx_before")
     ctx_after = directives.get("#ctx_after")
     has_ctx = ctx_before is not None or ctx_after is not None
@@ -79,6 +80,16 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
         rewritten = _rewrite_time_stateful(df, node, strict, label_columns)
         if rewritten is not None:
             return _select_labels(rewritten, directives)
+    else:
+        # ctx + $each_n: the counter is ctx-independent, so the match
+        # flags come from the counter window and the paddings propagate
+        # them — both stages stay JVM-side
+        flagged = _rewrite_counter_conjunct(df, node, strict, label_columns,
+                                            as_flags=True)
+        if flagged is not None:
+            marked, added = flagged
+            return _select_labels(_propagate_ctx(marked, directives, added),
+                                  directives)
 
     # slim interpreter: exact WhenFilter over precomputed (ts, p0..pk)
     # primitives — covers ctx+stateful interplay without shipping whole
@@ -89,6 +100,27 @@ def plan_parsed(df: DataFrame, node: Node, directives: Dict[str, List[Value]],
         return _select_labels(slim, directives)
 
     return apply_when_stateful(df, node, directives, strict)
+
+
+def _flatten_and(node: Node) -> Node:
+    """Splice nested $and conjuncts: ``$and[$and[a,b],c] -> $and[a,b,c]``.
+
+    Semantics-preserving — AllOf's left-to-right short-circuit/error fold
+    is associative (a falsy/erroring operand stops evaluation at the same
+    point either way), and the parser's implicit root AllOf wraps every
+    user-written $and in exactly this shape (parser.rs:54-59), which
+    otherwise hides the single-stateful-conjunct pattern from the window
+    and walk rewrite tiers."""
+    if not (isinstance(node, Op) and node.name == "$and"):
+        return node
+    ops: List[Node] = []
+    for o in node.operands:
+        o2 = _flatten_and(o)
+        if isinstance(o2, Op) and o2.name == "$and":
+            ops.extend(o2.operands)
+        else:
+            ops.append(o2)
+    return Op("$and", ops)
 
 
 def _predicate(df: DataFrame, node: Node, strict: bool, label_columns=None):
@@ -235,14 +267,19 @@ def _padding(directive: Optional[List[Value]], key: str) -> Tuple[bool, int]:
 
 def _window_ctx(df: DataFrame, node: Node, directives, strict: bool,
                 label_columns=None) -> DataFrame:
-    before_dur, before = _padding(directives.get("#ctx_before"), "#ctx_before")
-    after_dur, after = _padding(directives.get("#ctx_after"), "#ctx_after")
-
     df2, pred, added = _bound_or_struct(df, node, strict, label_columns)
     marked = df2.withColumn("__match", pred.cast("int"))
+    return _propagate_ctx(marked, directives, added)
+
+
+def _propagate_ctx(marked: DataFrame, directives, added) -> DataFrame:
+    """Emit r iff a match (``__match`` = 1) exists within `before`
+    records/µs after it OR `after` records/µs before it — the union-of-
+    intervals equivalent of the reference's ctx buffer/latch drain."""
+    before_dur, before = _padding(directives.get("#ctx_before"), "#ctx_before")
+    after_dur, after = _padding(directives.get("#ctx_after"), "#ctx_after")
     base = Window.partitionBy(*_PARTITION_COLS).orderBy("ts")
 
-    # emit r iff a match exists within `before` after it OR `after` before it
     if before_dur:
         w_b = base.rangeBetween(0, before)
     else:
@@ -260,8 +297,14 @@ def _window_ctx(df: DataFrame, node: Node, directives, strict: bool,
 
 
 def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
-                              label_columns=None) -> Optional[DataFrame]:
-    """Window rewrite for a single top-level $each_n/$limit conjunct."""
+                              label_columns=None,
+                              as_flags: bool = False):
+    """Window rewrite for a single top-level $each_n/$limit conjunct.
+
+    ``as_flags=True`` returns ``(marked_df, added_cols)`` with an
+    ``__match`` int column instead of filtering — the ctx-padding
+    composition path (the counter is ctx-independent: it increments on
+    prefix-truthy records whether or not ctx later emits them)."""
     if not (isinstance(node, Op) and node.name == "$and"):
         return None
     stateful_idx = [i for i, c in enumerate(node.operands) if is_stateful(c)]
@@ -271,6 +314,10 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
     sf = node.operands[i]
     if not (isinstance(sf, Op) and sf.name in ("$each_n", "$limit")
             and len(sf.operands) == 1 and isinstance(sf.operands[0], Const)):
+        return None
+    if as_flags and sf.name != "$each_n":
+        # ctx + $limit has buffer-flush interplay (when.rs:62-106) that
+        # the union-of-intervals form does not model — interpreter only
         return None
     try:
         n = V.as_int(sf.operands[0].value)
@@ -303,9 +350,13 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
         sf_pass = (cnt % F.lit(n)) == 0
     else:  # $limit: pass while counter <= n, Interrupt afterwards
         sf_pass = cnt <= F.lit(n)
+    marked = marked.withColumn("__sf", sf_pass)
+    if as_flags:
+        match = (F.col("__pref") & F.col("__sf") & rest_pred).cast("int")
+        return (marked.withColumn("__match", match),
+                ["__pref", "__sf", *added])
     return (
-        marked.withColumn("__sf", sf_pass)
-        .where(F.col("__pref") & F.col("__sf") & rest_pred)
+        marked.where(F.col("__pref") & F.col("__sf") & rest_pred)
         .drop("__pref", "__sf", *added)
     )
 
