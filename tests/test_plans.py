@@ -168,3 +168,28 @@ def test_quality_and_split_prune_columns(spark, sf_dir):
         scan = [l for l in plan.split("\n") if "ReadSchema" in l][0]
         assert "text" not in scan or q == "quality_filter", scan
         assert "lang" not in scan and "source" not in scan, scan
+
+
+@pytest.mark.parametrize("qname", ["each_n", "limit", "ctx_each_n",
+                                   "ctx_after_each_n"])
+def test_counter_shapes_stay_jvm_side(spark, sf_dir, qname):
+    """$each_n/$limit conjuncts (with or without ctx paddings) must plan
+    as window rewrites — never a Python stage.  Guards the $and
+    flattening: the parser's implicit root AllOf used to hide the
+    single-stateful-conjunct pattern from the rewrite tiers."""
+    plan = plan_of(QUERIES[qname][0](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in plan, plan[:600]
+    assert "EvalPython" not in plan, plan[:600]
+
+
+@pytest.mark.parametrize("qname", ["each_t", "gate"])
+def test_time_stateful_walk_is_keys_only(spark, sf_dir, qname):
+    """$each_t/$gate route through the vectorized walk tier: the Python
+    stage must see only the (bucket, entry, ts, flags) key columns —
+    whole records never cross the Arrow boundary — and rejoin as a
+    broadcastable semi-join."""
+    plan = plan_of(QUERIES[qname][0](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:600]
+    line = [l for l in plan.split("\n") if "FlatMapGroupsInPandas" in l][0]
+    assert "labels" not in line and "props" not in line, line
+    assert "LeftSemi" in plan, plan[:600]
