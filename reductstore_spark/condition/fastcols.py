@@ -345,6 +345,18 @@ class FlatCompiler:
             return self._cast(node)
         if name == "$ref":
             o = node.operands[0]
+            if isinstance(o, Const):
+                # constant name: identical to &name (ref.rs evaluates the
+                # operand to a display string, then looks it up) — bound
+                # leaves / virtual label columns apply, no map build
+                lname = V.to_display(o.value)
+                missing = self._missing("&", lname)
+                if lname in self.label_fvs:
+                    return self._bound(self.label_fvs[lname], missing)
+                if lname in self.label_columns:
+                    return self._label(self.label_columns[lname], missing)
+                return self._label(F.element_at(self.labels, F.lit(lname)),
+                                   missing)
             fv = self.compile(o)
             name_col = _display(fv)
             missing = None

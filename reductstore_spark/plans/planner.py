@@ -147,6 +147,11 @@ def _collect_refs(node: Node, labels=None, computed=None):
     elif isinstance(node, ComputedRef):
         computed.add(node.name)
     elif isinstance(node, Op):
+        if (node.name == "$ref" and len(node.operands) == 1
+                and isinstance(node.operands[0], Const)):
+            # constant-name $ref binds like &name (fastcols $ref branch)
+            labels.add(V.to_display(node.operands[0].value))
+            return labels, computed
         for o in node.operands:
             _collect_refs(o, labels, computed)
     return labels, computed
