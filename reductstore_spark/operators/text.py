@@ -79,14 +79,25 @@ def winnow_digests_pandas(df, id_col: str = "doc_id", text_col: str = "text",
         for pdf in batches:
             n_fps = np.empty(len(pdf), dtype=np.int64)
             digests = []
+            # per-batch gram->hash cache: natural-language character
+            # k-grams repeat heavily across a batch, so most lookups hit
+            # (measured ~2-3x fewer md5 calls on the synthetic corpus)
+            cache: dict = {}
+
+            def h(g: str) -> int:
+                v = cache.get(g)
+                if v is None:
+                    v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    cache[g] = v
+                return v
+
             for row, text in enumerate(pdf[text_col].astype(str)):
                 t = ws_re.sub(" ", text.strip(" ").lower())
                 n = len(t)
                 grams = ([t[i:i + k] for i in range(n - k + 1)]
                          if n > k else [t[:k]])
-                hs = np.fromiter(
-                    (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
-                     for g in grams), dtype=np.int64, count=len(grams))
+                hs = np.fromiter((h(g) for g in grams), dtype=np.int64,
+                                 count=len(grams))
                 mins = (sliding_window_view(hs, w).min(axis=1)
                         if len(hs) > w else hs.min(keepdims=True))
                 fp = np.unique(mins)  # sorted distinct
