@@ -20,7 +20,7 @@ from reductstore_spark.condition.parser import parse_when
 
 LABELS = ["a", "b", "c", "sparse"]
 VALUES = ["1", "-7", "3.5", "0", "true", "false", "abc", "", "1e2",
-          "0.0", "-0.5", "99", "xyz", " 5"]
+          "0.0", "-0.5", "99", "xyz", " 5", "1704067200123456", "+42"]
 
 
 def gen_rows(rng, n):
@@ -45,7 +45,10 @@ def gen_operand(rng, depth):
             return rng.choice([1, -3, 0, 2.5, 0.0, 10])
         if kind < 0.7:
             return rng.choice([True, False])
-        return rng.choice(["abc", "1", "true", "", "xyz"])
+        # incl. duration literals (parse to Duration constants) and the
+        # "$$" escape for a literal $-string
+        return rng.choice(["abc", "1", "true", "", "xyz", "1h", "300ms",
+                           "$$esc"])
     return gen_cond(rng, depth - 1)
 
 
@@ -55,7 +58,7 @@ def gen_cond(rng, depth):
         "$and", "$or", "$not", "$xor", "$in", "$nin",
         "$add", "$sub", "$mult", "$div", "$div_num", "$rem", "$abs",
         "$contains", "$starts_with", "$ends_with",
-        "$exists", "$cast", "$timestamp",
+        "$exists", "$cast", "$timestamp", "$ref", "$date",
     ])
     if op in ("$and", "$or", "$not", "$xor"):
         n = rng.randint(1, 3)
@@ -68,9 +71,23 @@ def gen_cond(rng, depth):
     if op == "$exists":
         return {op: [rng.choice(LABELS)]}
     if op == "$cast":
-        return {"$eq": [{"$cast": [gen_operand(rng, depth - 1),
-                                   rng.choice(["bool", "int", "float"])]},
-                        rng.choice([0, 1, 2.5])]}
+        target = rng.choice(["bool", "int", "float", "string", "duration"])
+        cmp_to = ("1" if target == "string"
+                  else rng.choice([0, 1, 2.5, 1_000_000]))
+        return {"$eq": [{"$cast": [gen_operand(rng, depth - 1), target]},
+                        cmp_to]}
+    if op == "$ref":
+        return {"$eq": [{"$ref": [rng.choice(LABELS)]},
+                        gen_operand(rng, depth - 1)]}
+    if op == "$date":
+        fld = rng.choice(["$second", "$minute", "$hour", "$day", "$month",
+                          "$year", "$weekday"])
+        src = rng.choice(["$timestamp", "&" + rng.choice(LABELS),
+                          1704067200123456])
+        args = [src]
+        if rng.random() < 0.3:
+            args.append("Europe/Berlin")
+        return {"$gte": [{fld: args}, rng.randrange(0, 30)]}
     if op == "$timestamp":
         return {"$gt": ["$timestamp", rng.randrange(20000)]}
     return {op: [gen_operand(rng, depth - 1), gen_operand(rng, depth - 1)]}
@@ -123,4 +140,58 @@ def test_fuzz_three_backends_agree(spark, seed):
             got_flat = [r[f"f{i}"] for r in res]
             if got_flat != want:
                 failures.append(("flat", c, got_flat, want))
+    assert not failures, failures[:3]
+
+
+@pytest.mark.parametrize("seed", [41, 53])
+def test_fuzz_strict_flat_vs_struct(spark, seed):
+    """Strict mode: the flat (codegen) tier and the struct tier must
+    raise for exactly the same (condition, row) pairs with the same
+    message, and must raise exactly when the interpreter errors."""
+    rng = random.Random(seed)
+    rows = gen_rows(rng, 30)
+    cases = []  # (cond, node, row)
+    while len(cases) < 16:
+        c = gen_cond(rng, 2)
+        try:
+            node, _ = parse_when(json.loads(json.dumps(c)))
+        except V.CondError:
+            continue
+        try:
+            FlatCompiler(F.col("ts"), F.col("labels"),
+                         strict=True).predicate(node)
+        except Unsupported:
+            continue
+        cases.append((c, node, rows[rng.randrange(len(rows))]))
+
+    def norm(msg: str) -> str:
+        # strip engine wrapping down to the raised text
+        m = msg.split("[USER_RAISED_EXCEPTION]", 1)[-1]
+        return m.split("SQLSTATE", 1)[0].strip()
+
+    failures = []
+    for c, node, (ts, labels) in cases:
+        df = spark.createDataFrame([(ts, labels)],
+                                   "ts long, labels map<string,string>")
+
+        def outcome(pred):
+            try:
+                return ("ok", df.select(pred.alias("p")).collect()[0]["p"])
+            except Exception as e:  # noqa: BLE001
+                return ("raise", norm(str(e)))
+
+        flat = outcome(FlatCompiler(F.col("ts"), F.col("labels"),
+                                    strict=True).predicate(node))
+        struct = outcome(ColumnCompiler(F.col("ts"), F.col("labels"))
+                         .predicate(node, strict=True))
+        try:
+            iv = ("ok", V.as_bool(Evaluator(node).apply(Context(ts, labels))))
+        except V.CondError:
+            iv = ("raise", None)
+        if flat[0] != iv[0] or struct[0] != iv[0]:
+            failures.append(("raise-mismatch", c, labels, flat, struct, iv))
+        elif flat != struct and flat[0] == "ok":
+            failures.append(("value-mismatch", c, labels, flat, struct))
+        elif flat[0] == "raise" and flat[1] != struct[1]:
+            failures.append(("message-mismatch", c, labels, flat, struct))
     assert not failures, failures[:3]
