@@ -33,19 +33,32 @@ class LifecyclePolicy:
 
 
 def run_delete_action(store, policy: LifecyclePolicy, now_us: int,
-                      dry_run: bool = False) -> int:
+                      dry_run: bool = False, syslog=None) -> int:
     """Remove records older than the cutoff matching the condition.
-    Returns the number of records removed (or would-be-removed)."""
+    Returns the number of records removed (or would-be-removed).
+    ``syslog``: optional SystemEventLog — the run's diagnostics land in
+    the ``$system`` bucket (lifecycle_run events, PR-1399)."""
     qe = QueryEngine()
     records = store.read().where(F.col("bucket") == policy.bucket)
     cutoff = now_us - policy.older_than_us
     kwargs = dict(stop=cutoff, when=policy.when, entries=policy.entries)
-    if dry_run:
-        return qe.count(records, **kwargs)
-    return qe.remove_query(store, records, **kwargs)
+    try:
+        if dry_run:
+            return qe.count(records, **kwargs)
+        n = qe.remove_query(store, records, **kwargs)
+    except Exception as exc:
+        if syslog is not None:
+            syslog.log_lifecycle_run(now_us, policy.bucket, "delete",
+                                     "error", message=str(exc))
+        raise
+    if syslog is not None:
+        syslog.log_lifecycle_run(now_us, policy.bucket, "delete", "ok",
+                                 processed_records=n)
+    return n
 
 
-def run_compress_action(store, bucket: str, older_than_us: int, now_us: int) -> int:
+def run_compress_action(store, bucket: str, older_than_us: int, now_us: int,
+                        syslog=None) -> int:
     """Compact day-partitions entirely older than the cutoff: rewrite
     them (zstd store codec), dropping shadowed row versions and merging
     small append files.  Returns the number of partitions rewritten."""
@@ -61,4 +74,10 @@ def run_compress_action(store, bucket: str, older_than_us: int, now_us: int) -> 
     deduped = (old.withColumn("__rn", F.row_number().over(w))
                .where(F.col("__rn") == 1).drop("__rn"))
     store._overwrite_partitions(deduped)
+    if syslog is not None:
+        # PR-1470: report both processed record and block counts
+        n_recs = deduped.count()
+        syslog.log_lifecycle_run(now_us, bucket, "compress", "ok",
+                                 processed_records=n_recs,
+                                 processed_blocks=n_parts)
     return n_parts

@@ -44,17 +44,23 @@ class RecordStore:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- write path ------------------------------------------------------
-    def write(self, df: DataFrame) -> None:
+    def write(self, df: DataFrame, compression: str = None) -> None:
         """Append a batch of records; same-(bucket,entry,ts) rows shadow
-        older versions (upsert-on-read, compact() to materialize)."""
+        older versions (upsert-on-read, compact() to materialize).
+        ``compression``: per-batch parquet codec override ('zstd'/'gzip'/
+        'none') — the replication transfer-compression analogue."""
         seq = self._next_seq()
         out = (
             df.select(*[f.name for f in RECORDS_SCHEMA.fields])
             .withColumn("__seq", F.lit(seq))
             .withColumn("ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long"))
         )
-        (out.repartition(*[F.col(c) for c in _PARTITIONING])
-            .write.mode("append").partitionBy(*_PARTITIONING).parquet(self.root))
+        writer = (out.repartition(*[F.col(c) for c in _PARTITIONING])
+                  .write.mode("append"))
+        if compression:
+            codec = "uncompressed" if compression == "none" else compression
+            writer = writer.option("compression", codec)
+        writer.partitionBy(*_PARTITIONING).parquet(self.root)
 
     def _next_seq(self) -> int:
         """Monotonic write-batch sequence from the ``_meta/seq`` sidecar —
@@ -229,7 +235,10 @@ class RecordStore:
 
     def rename_bucket(self, old: str, new: str) -> None:
         """Rename a bucket: pure directory move (bucket is the top-level
-        partition)."""
+        partition).  The ``$system`` events bucket is provisioned and
+        cannot be renamed away (PR-1557)."""
+        if old == "$system":
+            raise ValueError("bucket '$system' is provisioned")
         src = os.path.join(self.root, f"bucket={old}")
         dst = os.path.join(self.root, f"bucket={new}")
         if not os.path.isdir(src):

@@ -39,6 +39,10 @@ class ReplicationSettings:
     entries: List[str] = field(default_factory=list)
     dst_prefix: str = ""
     when: Optional[dict] = None
+    # transfer compression (reference: replication `compression` setting,
+    # none|zstd|gzip via HTTP Content-Encoding) — here the batch lands
+    # compressed with the corresponding parquet codec
+    compression: str = "none"
 
 
 def replication_stream(spark: SparkSession, src_root: str,
@@ -64,10 +68,13 @@ def start_replication(spark: SparkSession, src_root: str, dst_root: str,
     dst = RecordStore(spark, dst_root)
     stream = replication_stream(spark, src_root, settings)
 
+    if settings.compression not in ("none", "zstd", "gzip"):
+        raise ValueError(f"unknown compression '{settings.compression}'")
+
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dst.write(batch_df)
+        dst.write(batch_df, compression=settings.compression)
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint))
