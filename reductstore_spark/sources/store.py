@@ -96,6 +96,83 @@ class RecordStore:
         except FileNotFoundError:
             return False
 
+    # -- bucket settings --------------------------------------------------
+    # (reference: BucketSettings bucket_api.rs:56-60 — quota_type NONE|
+    # FIFO|HARD, quota_size, max_block_* knobs; server-wide defaults via
+    # RS_DEFAULTS_BUCKET_* env, PR-1535.  Persisted in a _meta sidecar;
+    # block-size knobs map to parquet file sizing and are recorded for
+    # API parity but enforced by the writer config.)
+
+    DEFAULT_BUCKET_SETTINGS = {
+        "quota_type": "NONE", "quota_size": 0,
+        "max_block_size": 64 * 1024 * 1024, "max_block_records": 256,
+    }
+
+    def _settings_file(self):
+        return os.path.join(self.root, "_meta", "bucket_settings.json")
+
+    def set_bucket_settings(self, bucket: str, **settings) -> dict:
+        """Upsert per-bucket settings; unknown keys are rejected.
+        Returns the effective (defaults-merged) settings."""
+        import json as _json
+
+        bad = set(settings) - set(self.DEFAULT_BUCKET_SETTINGS)
+        if bad:
+            raise ValueError(f"unknown bucket settings: {sorted(bad)}")
+        if settings.get("quota_type") not in (None, "NONE", "FIFO", "HARD"):
+            raise ValueError(f"unknown quota_type '{settings['quota_type']}'")
+        path = self._settings_file()
+        try:
+            allset = _json.load(open(path))
+        except (FileNotFoundError, ValueError):
+            allset = {}
+        cur = allset.get(bucket, {})
+        cur.update(settings)
+        allset[bucket] = cur
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(allset, fh)
+        os.replace(tmp, path)
+        return self.get_bucket_settings(bucket)
+
+    def get_bucket_settings(self, bucket: str,
+                            defaults: Optional[dict] = None) -> dict:
+        """Effective settings: server defaults (RS_DEFAULTS_BUCKET_*
+        analog via ``defaults``) overlaid with the bucket's stored
+        settings."""
+        import json as _json
+
+        eff = dict(self.DEFAULT_BUCKET_SETTINGS)
+        eff.update(defaults or {})
+        try:
+            allset = _json.load(open(self._settings_file()))
+            eff.update(allset.get(bucket, {}))
+        except (FileNotFoundError, ValueError):
+            pass
+        return eff
+
+    def write_with_settings(self, df: DataFrame,
+                            defaults: Optional[dict] = None) -> None:
+        """Write a batch honoring each destination bucket's stored quota
+        settings (HARD rejects before writing, FIFO evicts after —
+        bucket/quotas.rs:20-110)."""
+        buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
+        plans = {b: self.get_bucket_settings(b, defaults) for b in buckets}
+        for b, st in plans.items():
+            if st["quota_type"] == "HARD" and st["quota_size"] > 0:
+                part = df.where(F.col("bucket") == b)
+                incoming = part.agg(F.sum(F.coalesce(
+                    F.length("payload"), F.lit(0)))).collect()[0][0] or 0
+                if self.bucket_size(b) + incoming > st["quota_size"]:
+                    raise QuotaExceeded(
+                        f"bucket '{b}' would exceed the hard quota of "
+                        f"{st['quota_size']} bytes")
+        self.write(df)
+        for b, st in plans.items():
+            if st["quota_type"] == "FIFO" and st["quota_size"] > 0:
+                self.evict_fifo(b, st["quota_size"])
+
     # -- read path -------------------------------------------------------
     def read(self, assume_compacted: bool = False) -> DataFrame:
         """Current table state: newest version per (bucket, entry, ts).

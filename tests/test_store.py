@@ -132,3 +132,35 @@ def test_entry_and_bucket_info(spark, store):
     assert b["record_count"] == 8
     assert b["oldest_record"] == 0
     assert b["latest_record"] == 86_400_000_000 + 2_000_000
+
+
+def test_bucket_settings_registry(spark, tmp_path):
+    """Per-bucket settings with server defaults (BucketSettings
+    bucket_api.rs:56-60; RS_DEFAULTS_BUCKET_* defaults PR-1535):
+    persisted, defaults-merged, enforced by write_with_settings."""
+    from reductstore_spark.sources.store import QuotaExceeded, RecordStore
+
+    store = RecordStore(spark, str(tmp_path / "s"))
+    # defaults-merged view before anything is stored
+    eff = store.get_bucket_settings("b", defaults={"quota_type": "FIFO",
+                                                   "quota_size": 10_000})
+    assert eff["quota_type"] == "FIFO" and eff["quota_size"] == 10_000
+    # stored settings override server defaults
+    store.set_bucket_settings("b", quota_type="HARD", quota_size=100)
+    eff = store.get_bucket_settings("b", defaults={"quota_type": "FIFO"})
+    assert eff["quota_type"] == "HARD" and eff["quota_size"] == 100
+    assert eff["max_block_records"] == 256  # untouched default survives
+    with pytest.raises(ValueError):
+        store.set_bucket_settings("b", nonsense=1)
+    with pytest.raises(ValueError):
+        store.set_bucket_settings("b", quota_type="SOFT")
+
+    rows = [("b", "e", 1, b"x" * 200, "", 1, {}, {})]
+    with pytest.raises(QuotaExceeded):
+        store.write_with_settings(spark.createDataFrame(rows, SCHEMA))
+    # NONE quota writes fine; settings survive a new store handle
+    store.set_bucket_settings("b", quota_type="NONE")
+    store.write_with_settings(spark.createDataFrame(rows, SCHEMA))
+    store2 = RecordStore(spark, str(tmp_path / "s"))
+    assert store2.get_bucket_settings("b")["quota_type"] == "NONE"
+    assert store2.read().count() == 1
