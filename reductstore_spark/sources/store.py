@@ -153,12 +153,22 @@ class RecordStore:
         return eff
 
     def write_with_settings(self, df: DataFrame,
-                            defaults: Optional[dict] = None) -> None:
+                            defaults: Optional[dict] = None,
+                            max_storage_bytes: Optional[int] = None) -> None:
         """Write a batch honoring each destination bucket's stored quota
         settings (HARD rejects before writing, FIFO evicts after —
-        bucket/quotas.rs:20-110)."""
+        bucket/quotas.rs:20-110).  ``max_storage_bytes``: global storage
+        cap across ALL buckets enforced on the write path
+        (RS_ENGINE_MAX_STORAGE_SIZE analog, PR-1263)."""
         buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
         plans = {b: self.get_bucket_settings(b, defaults) for b in buckets}
+        if max_storage_bytes is not None:
+            incoming = df.agg(F.sum(F.coalesce(
+                F.length("payload"), F.lit(0)))).collect()[0][0] or 0
+            if self.total_size() + incoming > max_storage_bytes:
+                raise QuotaExceeded(
+                    f"write would exceed the engine storage cap of "
+                    f"{max_storage_bytes} bytes")
         for b, st in plans.items():
             if st["quota_type"] == "HARD" and st["quota_size"] > 0:
                 part = df.where(F.col("bucket") == b)
@@ -384,6 +394,16 @@ class RecordStore:
     # -- quota -----------------------------------------------------------
     def bucket_size(self, bucket: str) -> int:
         return sum(size for _, _, size in self._bucket_days(bucket))
+
+    def total_size(self) -> int:
+        """Storage footprint across all buckets (parquet data files)."""
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            if os.sep + "_meta" in dirpath:
+                continue
+            total += sum(os.path.getsize(os.path.join(dirpath, f))
+                         for f in filenames if f.endswith(".parquet"))
+        return total
 
     def write_with_quota(self, df: DataFrame, quota_type: str = "NONE",
                          quota_bytes: int = 0) -> None:

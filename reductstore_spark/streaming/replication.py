@@ -63,8 +63,15 @@ def replication_stream(spark: SparkSession, src_root: str,
 
 def start_replication(spark: SparkSession, src_root: str, dst_root: str,
                       settings: ReplicationSettings, checkpoint: str,
-                      available_now: bool = False):
-    """Run the replication pipeline; returns the StreamingQuery."""
+                      available_now: bool = False, syslog=None,
+                      name: str = "replication"):
+    """Run the replication pipeline; returns the StreamingQuery.
+
+    ``syslog``: optional SystemEventLog on the SOURCE store — per-batch
+    replication diagnostics land under ``replications/<instance>/<name>``
+    with status/records labels (the reference aggregates per status code
+    on a flush window, PR-1417; here the micro-batch is the natural
+    aggregation grain)."""
     dst = RecordStore(spark, dst_root)
     stream = replication_stream(spark, src_root, settings)
 
@@ -74,7 +81,21 @@ def start_replication(spark: SparkSession, src_root: str, dst_root: str,
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dst.write(batch_df, compression=settings.compression)
+        n = batch_df.count()
+        try:
+            dst.write(batch_df, compression=settings.compression)
+        except Exception as exc:
+            if syslog is not None:
+                ts = batch_df.agg(F.max("ts")).collect()[0][0] or 0
+                syslog.emit([(f"replications/{syslog.instance}/{name}", ts,
+                              {"status": "error", "message": str(exc),
+                               "records": n, "batch": _batch_id})])
+            raise
+        if syslog is not None:
+            ts = batch_df.agg(F.max("ts")).collect()[0][0] or 0
+            syslog.emit([(f"replications/{syslog.instance}/{name}", ts,
+                          {"status": "ok", "records": n,
+                           "batch": _batch_id})])
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint))

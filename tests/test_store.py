@@ -164,3 +164,19 @@ def test_bucket_settings_registry(spark, tmp_path):
     store2 = RecordStore(spark, str(tmp_path / "s"))
     assert store2.get_bucket_settings("b")["quota_type"] == "NONE"
     assert store2.read().count() == 1
+
+
+def test_global_storage_cap(spark, tmp_path):
+    """RS_ENGINE_MAX_STORAGE_SIZE analog: the write path enforces a cap
+    across all buckets (PR-1263)."""
+    from reductstore_spark.sources.store import QuotaExceeded, RecordStore
+
+    store = RecordStore(spark, str(tmp_path / "g"))
+    rows = [("b1", "e", 1, b"x" * 100, "", 1, {}, {})]
+    store.write_with_settings(spark.createDataFrame(rows, SCHEMA),
+                              max_storage_bytes=1_000_000)
+    assert store.total_size() > 0
+    big = [("b2", "e", 2, b"y" * 100, "", 1, {}, {})]
+    with pytest.raises(QuotaExceeded, match="storage cap"):
+        store.write_with_settings(spark.createDataFrame(big, SCHEMA),
+                                  max_storage_bytes=store.total_size())

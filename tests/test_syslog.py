@@ -130,3 +130,27 @@ def test_replication_compression_codec(spark, tmp_path):
             ReplicationSettings(src_bucket="b", dst_bucket="b",
                                 compression="lz77"),
             checkpoint=str(tmp_path / "ck"))
+
+
+def test_replication_diagnostics_events(spark, tmp_path):
+    """Replication runs emit per-batch diagnostics under
+    replications/<instance>/<name> (PR-1417)."""
+    from reductstore_spark.streaming.replication import (ReplicationSettings,
+                                                         start_replication)
+
+    src = RecordStore(spark, str(tmp_path / "src"))
+    rows = [("b", "e", i, b"p", "", 1, {}, {}) for i in range(3)]
+    src.write(spark.createDataFrame(rows, SCHEMA))
+    log = SystemEventLog(src, instance="inst")
+    q = start_replication(
+        spark, str(tmp_path / "src"), str(tmp_path / "dst"),
+        ReplicationSettings(src_bucket="b", dst_bucket="b"),
+        checkpoint=str(tmp_path / "ck"), available_now=True,
+        syslog=log, name="rep1")
+    q.awaitTermination(120)
+    ev = log.events(["replications/**"]).collect()
+    assert ev, "no replication diagnostics emitted"
+    lb = ev[0]["labels"]
+    assert lb["status"] == "ok" and int(lb["records"]) == 3
+    dst = RecordStore(spark, str(tmp_path / "dst"))
+    assert dst.read().count() == 3
