@@ -2034,6 +2034,47 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition mining: the top-20 (src -> dst)
+    event bigrams corpus-wide with transition counts and distinct-user
+    support — session-behavior statistics (funnel discovery, anomaly
+    baselines) over the stream table.
+
+    Scale shape: one per-user window (lead over a deterministic
+    (ts, event_id) total order), one map-side-combined aggregate, and a
+    TakeOrderedAndProject top-k — never a global window over the counts."""
+    prep(spark)
+    from .operators.topk import global_top_k
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("dst", F.lead("event_type", 1).over(w))
+             .where(F.col("dst").isNotNull())
+             .select("user_id", F.col("event_type").alias("src"), "dst"))
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"))
+    top = global_top_k(counts, 20,
+                       [F.col("n").desc(), F.col("src"), F.col("dst")])
+    return top.select("src", "dst", "n", "n_users",
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT user_id, event_type AS src,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS dst
+  FROM events
+), counts AS (
+  SELECT src, dst, count(*) AS n, count(DISTINCT user_id) AS n_users
+  FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n, n_users,
+  CAST(row_number() OVER (ORDER BY n DESC, src, dst) AS BIGINT) AS rnk
+FROM counts ORDER BY n DESC, src, dst LIMIT 20
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Int8-style scalar quantization of the embedding column: global
     per-dimension [min, max] ranges (a dimension-count-sized table —
@@ -2166,4 +2207,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
 }
