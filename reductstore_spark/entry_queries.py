@@ -2034,6 +2034,62 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _roundtrip_store(spark, sf_dir):
+    """Deterministic physical RecordStore built from the events corpus:
+    one full write, then a belated upsert batch rewriting every record
+    of users 0-4 with a doubled ``value`` label.  A marker file keyed by
+    the build recipe makes rebuilds idempotent across runs."""
+    import os
+    import shutil
+
+    from .schema import RECORDS_SCHEMA
+    from .sources.store import RecordStore
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    root = f"/tmp/spark_graft_store_{sf_tag}"
+    marker = os.path.join(root, "_meta", "roundtrip_v1")
+    store = RecordStore(spark, root)
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        store = RecordStore(spark, root)
+        base = _records(spark, sf_dir).select(
+            *[f.name for f in RECORDS_SCHEMA.fields])
+        store.write(base)
+        # belated upsert: same (entry, ts) shadows the original record
+        upd = base.where(
+            F.element_at("labels", "user").cast("long") < 5)
+        doubled = F.map_concat(
+            F.map_filter("labels", lambda k, v: k != F.lit("value")),
+            F.create_map(
+                F.lit("value"),
+                (F.element_at("labels", "value").cast("double") * 2)
+                .cast("string")))
+        store.write(upd.withColumn("labels", doubled))
+        with open(marker, "w") as fh:
+            fh.write("v1")
+    return store
+
+
+def q_store_roundtrip(spark, sf_dir):
+    """The physical store path through the oracle gate: write the corpus
+    into a partitioned RecordStore, belatedly UPSERT a subset (doubled
+    value label shadows the original per (entry, ts) — timestamp-as-ID,
+    write_record.rs:61-199), then run a `when` condition over the
+    store's merged read state.  Unlike the mapped-view queries this
+    exercises the real labels map (no virtual columns), the __seq
+    shadowing window, and Parquet partition layout end-to-end."""
+    prep(spark)
+    store = _roundtrip_store(spark, sf_dir)
+    return _entry_ts(_QE.query(store.read(), when={"&value": {"$gt": 150}},
+                               ordered=False))
+
+
+SQL_STORE_ROUNDTRIP = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE CASE WHEN user_id < 5 THEN value * 2 ELSE value END > 150
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """Per-user event-type transition mining: the top-20 (src -> dst)
     event bigrams corpus-wide with transition counts and distinct-user
@@ -2208,4 +2264,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
 }
