@@ -2090,6 +2090,42 @@ WHERE CASE WHEN user_id < 5 THEN value * 2 ELSE value END > 150
 """
 
 
+def q_store_remove(spark, sf_dir):
+    """Query-driven bulk delete through the physical store
+    (QueryType::Remove, remove_records.rs:62-160): build a store from
+    the corpus, delete everything ``{"&user": {"$lt": 2}}`` matches via
+    the anti-join partition rewrite, and return the survivors — the
+    oracle derives the complement directly from the source table."""
+    import os
+    import shutil
+
+    from .schema import RECORDS_SCHEMA
+    from .sources.store import RecordStore
+
+    prep(spark)
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    root = f"/tmp/spark_graft_store_rm_{sf_tag}"
+    marker = os.path.join(root, "_meta", "removed_v1")
+    store = RecordStore(spark, root)
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        store = RecordStore(spark, root)
+        base = _records(spark, sf_dir).select(
+            *[f.name for f in RECORDS_SCHEMA.fields])
+        store.write(base)
+        _QE.remove_query(store, store.read(),
+                         when={"&user": {"$lt": 2}})
+        with open(marker, "w") as fh:
+            fh.write("v1")
+    return _entry_ts(_QE.query(store.read(), ordered=False))
+
+
+SQL_STORE_REMOVE = """
+SELECT event_type AS entry, epoch_us(ts) AS ts FROM events
+WHERE user_id >= 2
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """Per-user event-type transition mining: the top-20 (src -> dst)
     event bigrams corpus-wide with transition counts and distinct-user
@@ -2265,4 +2301,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "repetition": (q_repetition, SQL_REPETITION),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
+    "store_remove": (q_store_remove, SQL_STORE_REMOVE),
 }
