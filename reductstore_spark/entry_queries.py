@@ -2222,6 +2222,314 @@ FROM j GROUP BY vec_id
 """
 
 
+def _disc_rev_dec():
+    """Decimal-exact discounted revenue term (associative under any
+    aggregation order — safe for hash comparison across engines)."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("decimal(28,6)")
+
+
+def q_agg_rollup(spark, sf_dir):
+    """Multi-level aggregation: ROLLUP over (returnflag, linestatus) in a
+    single pass — Spark computes all three grouping levels from one
+    shuffle (Expand + partial agg), no per-level rescan.  NULL grouping
+    slots are labelled 'ALL' (the corpus has no NULL flags)."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_disc_rev_dec()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "revenue", "n_items"))
+
+
+SQL_AGG_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+      AS revenue,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_join_semi_bigorders(spark, sf_dir):
+    """Q18-style large-volume orders: aggregate lineitem per order, HAVING
+    filter, then join the (small) survivor set back to orders/customer.
+
+    Scale shape: the lineitem aggregate combines map-side and shuffles on
+    l_orderkey only; the survivor set (p99+ orders) is tiny, so Spark/AQE
+    broadcasts it into the orders scan — orders is filtered by a
+    broadcast-hash semi-equivalent join rather than a full shuffle."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+           .where(F.col("qty_dec") > 250))
+    return (od.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("total_price"),
+                    F.col("qty_dec").cast("double").alias("sum_qty")))
+
+
+SQL_JOIN_SEMI_BIGORDERS = """
+SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+       CAST(qty_dec AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_join_anti_inactive(spark, sf_dir):
+    """Q22-style: wealthy-but-inactive customers — acctbal above the
+    global positive average (scalar subquery, broadcast as a 1-row join)
+    and no order since 2000-01-01 (left ANTI join).
+
+    The threshold is a decimal-exact SUM cast to double divided by the
+    count, so both engines derive bit-identical doubles regardless of
+    aggregation order.  The anti join's right side is just o_custkey —
+    a column-pruned scan, broadcastable when the recent window is small."""
+    prep(spark)
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    thr = (cu.where(F.col("c_acctbal") > 0)
+           .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                 / F.count(F.lit(1))).alias("thr")))
+    recent = (od.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (cu.crossJoin(F.broadcast(thr))
+            .where(F.col("c_acctbal") > F.col("thr"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("total_bal")))
+
+
+SQL_JOIN_ANTI_INACTIVE = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS thr
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment, count(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, thr
+WHERE c_acctbal > thr
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """Q17-style: revenue from small-quantity lineitems, where 'small'
+    means below 0.2x that part's own average quantity (a correlated
+    aggregate decorrelated into a per-part join).
+
+    Scale shape: the per-part average shuffles on l_partkey with map-side
+    combine; the probe join is also keyed on l_partkey, so AQE can reuse
+    the co-partitioning; part is a broadcast dimension.  Threshold math is
+    exact-sum/count doubles — identical across engines."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    avgq = (li.groupBy(F.col("l_partkey").alias("pk"))
+            .agg((F.lit(0.2) * F.sum(dec("l_quantity")).cast("double")
+                  / F.count(F.lit(1))).alias("lim")))
+    return (li.join(F.broadcast(pa.where(F.col("p_size") < 10)
+                                  .select("p_partkey", "p_brand")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(avgq, F.col("l_partkey") == F.col("pk"))
+            .where(F.col("l_quantity") < F.col("lim"))
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH avgq AS (
+  SELECT l_partkey AS pk,
+         0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand AS brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_size < 10
+JOIN avgq ON pk = l_partkey
+WHERE l_quantity < lim
+GROUP BY p_brand
+"""
+
+
+def q_nation_share(spark, sf_dir):
+    """Q8-style market share: each nation's fraction of yearly revenue.
+    Decimal-exact revenue sums; the share ratio divides the two doubles
+    (deterministic IEEE ops) and rounds to 6 decimals.
+
+    Scale shape: lineitem-orders shuffle on orderkey, orders-customer on
+    custkey, nation broadcast; the share is a per-year window over the
+    already-aggregated (nation, year) rows — a tiny post-agg dataset."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rev = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("long").alias("yr"))
+           .agg(F.sum(_disc_rev_dec()).alias("rev_dec")))
+    # window-sum the DECIMAL (exact, order-independent), divide as double
+    w = Window.partitionBy("yr")
+    return rev.select(
+        "nation", "yr", F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(w).cast("double"), 6).alias("share"))
+
+
+SQL_NATION_SHARE = """
+WITH rev AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+        AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+)
+SELECT nation, yr, CAST(rev_dec AS DOUBLE) AS revenue,
+       round(CAST(rev_dec AS DOUBLE) /
+             CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+FROM rev
+"""
+
+
+def q_user_set_ops(spark, sf_dir):
+    """Set algebra over user cohorts: users with a high-value click AND a
+    high-value purchase but no severe error — INTERSECT then EXCEPT
+    (distinct set semantics; value thresholds keep the cohorts selective
+    in the dense synthetic corpus where every user does every type).
+
+    Scale shape: each cohort is a column-pruned, predicate-pushed scan +
+    distinct on user_id; Spark plans set ops as aggregations on the same
+    key, so all three legs share one shuffle key and AQE coalesces
+    partitions."""
+    prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    cohort = lambda t, v: (ev.where((F.col("event_type") == t)
+                                    & (F.col("value") > v))
+                           .select("user_id"))
+    return (cohort("click", 100).intersect(cohort("purchase", 120))
+            .subtract(cohort("error", 200)))
+
+
+SQL_USER_SET_OPS = """
+(SELECT user_id FROM events WHERE event_type = 'click' AND value > 100
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 120)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+"""
+
+
+def q_agg_distinct(spark, sf_dir):
+    """Exact distinct-count aggregation per event type: distinct users,
+    distinct active days, plus a decimal-exact value sum.  COUNT(DISTINCT)
+    is the expensive two-phase shuffle op worth pinning — Spark expands to
+    partial-distinct per key before the final count (no full row shuffle)."""
+    prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct(day).alias("n_days"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("sum_value")))
+
+
+SQL_AGG_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_curriculum_mix(spark, sf_dir):
+    """Token-budget curriculum sampling: per source, take documents in
+    content-independent hash order until a 4000-token budget is filled
+    (first doc crossing the budget is excluded).  Deterministic across
+    engines, runs, and cluster sizes — no RNG.
+
+    Scale shape: token counts are a pure-Column expression; the cumsum
+    window partitions by source (parallel across sources, never a global
+    sort).  This is the 'mix N tokens of each domain' primitive of a
+    training-data pipeline."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs.select("doc_id", "source", tok.alias("tok"))
+            .withColumn("cum_tok", F.sum("tok").over(w))
+            .where(F.col("cum_tok") <= 4000))
+
+
+SQL_CURRICULUM_MIX = r"""
+SELECT doc_id, source, tok, cum_tok FROM (
+  SELECT doc_id, source, tok,
+    SUM(tok) OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM (SELECT doc_id, source,
+          len(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+) WHERE cum_tok <= 4000
+"""
+
+
+def q_length_hist(spark, sf_dir):
+    """Document-length histogram per language: fixed 100-char buckets
+    (capped at bucket 9) — the standard corpus-inspection profile.
+    Pure integer arithmetic, single map-side-combined aggregation."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
+    return (docs.groupBy("lang", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+SQL_LENGTH_HIST = """
+SELECT lang, CAST(LEAST(CAST(floor(n_chars / 100) AS BIGINT), 9) AS BIGINT) AS bucket,
+       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2265,6 +2573,13 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "agg_order_priority": (q_agg_order_priority, SQL_AGG_ORDER_PRIORITY),
     "agg_promo_share": (q_agg_promo_share, SQL_AGG_PROMO_SHARE),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "join_semi_bigorders": (q_join_semi_bigorders, SQL_JOIN_SEMI_BIGORDERS),
+    "join_anti_inactive": (q_join_anti_inactive, SQL_JOIN_ANTI_INACTIVE),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "nation_share": (q_nation_share, SQL_NATION_SHARE),
+    "user_set_ops": (q_user_set_ops, SQL_USER_SET_OPS),
     # C: LLM pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -2300,6 +2615,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "curriculum_mix": (q_curriculum_mix, SQL_CURRICULUM_MIX),
+    "length_hist": (q_length_hist, SQL_LENGTH_HIST),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
 }
