@@ -2530,6 +2530,105 @@ FROM documents GROUP BY lang, bucket
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Banded range join: for each user, count (error, click) pairs where
+    the click happened within the 12 h before the error — a time-interval
+    join with no cross join (see operators/rangejoin.py: bucket-quantize
+    to the interval width, equi-join on (user, bucket), refine exact)."""
+    prep(spark)
+    from .operators.rangejoin import range_join
+    from .schema import raw_ts_us
+    ev = _t(spark, sf_dir, "events")
+    us = raw_ts_us(ev)
+    err = (ev.where(F.col("event_type") == "error")
+           .select("user_id", F.col("event_id").alias("err_id"),
+                   us.alias("ts_us")))
+    clk = (ev.where(F.col("event_type") == "click")
+           .select("user_id", us.alias("ts_us")))
+    h12 = 12 * 3600 * 1_000_000
+    pairs = range_join(err, clk, by=["user_id"],
+                       left_on="ts_us", right_on="ts_us",
+                       lower=-h12, upper=0)
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("err_id").alias("n_errors")))
+
+
+SQL_RANGE_JOIN = """
+SELECT e.user_id, count(*) AS n_pairs,
+       count(DISTINCT e.event_id) AS n_errors
+FROM events e JOIN events c ON c.user_id = e.user_id
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+  AND epoch_us(c.ts) >= epoch_us(e.ts) - 43200000000
+  AND epoch_us(c.ts) < epoch_us(e.ts)
+GROUP BY e.user_id
+"""
+
+
+def q_gapfill_daily(spark, sf_dir):
+    """Continuous-aggregate rollup with gap filling: per-user daily event
+    counts on a dense day grid spanning the corpus, zeros on empty days,
+    and LOCF (last-observation-carried-forward) of the day's value sum —
+    the time_bucket_gapfill primitive (operators/gapfill.py: grid built
+    by a distributed sequence() explode over the reduced key list)."""
+    prep(spark)
+    from .operators.gapfill import time_bucket_gapfill
+    from .schema import raw_ts_us
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    base = ev.select("user_id", raw_ts_us(ev).alias("ts_us"), "value")
+    out = time_bucket_gapfill(
+        base, key="user_id", ts_col="ts_us", width=day_us,
+        value_col=F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    return out.select("user_id", F.col("bucket").alias("day"),
+                      F.col("n_rows").alias("n_events"),
+                      "sum_value", "locf_sum_value")
+
+
+SQL_GAPFILL_DAILY = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY user_id, day
+), span AS (SELECT min(day) AS mn, max(day) AS mx FROM b),
+keys AS (SELECT DISTINCT user_id FROM events),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day
+         FROM keys, span)
+SELECT g.user_id, g.day, COALESCE(n_events, 0) AS n_events, sum_value,
+       last_value(sum_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS locf_sum_value
+FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.day = g.day
+"""
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per-user event counts by type as columns.
+    The pivot values are declared explicitly, so Spark skips the extra
+    distinct-scan job and plans a single map-side-combined aggregation."""
+    prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+
+
+SQL_EVENT_PIVOT = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click')    AS n_click,
+  count(*) FILTER (event_type = 'view')     AS n_view,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup')   AS n_signup,
+  count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2617,6 +2716,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "curriculum_mix": (q_curriculum_mix, SQL_CURRICULUM_MIX),
     "length_hist": (q_length_hist, SQL_LENGTH_HIST),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
+    "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
 }
