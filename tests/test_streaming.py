@@ -207,3 +207,49 @@ def test_stateful_stream_each_t_across_batches(spark, tmp_path):
         if V.as_bool(ev.apply(Context(ts, {}, {}))):
             expect.append(ts)
     assert got1 + got2 == expect, (got1, got2, expect)
+
+
+def test_deduped_ingest_drops_duplicates_across_batches(spark, tmp_path):
+    """Streaming upsert-by-(entry, ts): a retransmitted record inside the
+    watermark window is dropped; distinct timestamps all pass; state is
+    keyed on (entry, ts) so the same ts on another entry survives."""
+    from reductstore_spark.streaming.ingest import deduped_ingest
+
+    src_root = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, src_root)
+
+    # realistic epoch base: ts=0 would sit exactly on Spark's initial
+    # zero watermark and be discarded as late before dedup even runs
+    B = 1_700_000_000_000_000
+    rows = mk_rows("e1", 3, base=B) + mk_rows("e1", 3, base=B) \
+        + mk_rows("e2", 2, base=B)
+    # write duplicates via two appends so they land in separate files —
+    # the file stream surfaces both copies (no global shadowing mid-stream)
+    store.write(spark.createDataFrame(rows[:3] + rows[6:], SCHEMA))
+    store.write(spark.createDataFrame(rows[3:6], SCHEMA))
+
+    stream = deduped_ingest(continuous_query(spark, src_root))
+    q = (stream.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("entry", "ts").collect()
+    pairs = sorted((r["entry"], r["ts"]) for r in got)
+    assert pairs == sorted(
+        [("e1", B), ("e1", B + 1_000_000), ("e1", B + 2_000_000),
+         ("e2", B), ("e2", B + 1_000_000)])
+
+
+def test_deduped_ingest_batch_mode_equivalent(spark):
+    """The same helper on a batch frame dedups identically (watermark is
+    a no-op in batch execution)."""
+    from reductstore_spark.streaming.ingest import deduped_ingest
+
+    df = spark.createDataFrame(mk_rows("e1", 2) + mk_rows("e1", 2), SCHEMA)
+    got = sorted((r["entry"], r["ts"])
+                 for r in deduped_ingest(df).select("entry", "ts").collect())
+    assert got == [("e1", 0), ("e1", 1_000_000)]
+    assert deduped_ingest(df).columns == df.columns
