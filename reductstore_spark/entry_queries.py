@@ -2238,9 +2238,13 @@ def q_agg_rollup(spark, sf_dir):
     slots are labelled 'ALL' (the corpus has no NULL flags)."""
     prep(spark)
     li = _t(spark, sf_dir, "lineitem")
+    # pre-project the decimal term: Expand triples the rows, and an
+    # expression left inside agg() is evaluated per expanded copy (3x);
+    # projected first it is computed once per source row (~2x faster)
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_disc_rev_dec()).cast("double").alias("revenue"),
+        li.select("l_returnflag", "l_linestatus", _disc_rev_dec().alias("rev"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("rev").cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
         .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                 F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

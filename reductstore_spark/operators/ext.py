@@ -185,16 +185,22 @@ _NUM_OPS = {"$sub", "$mult", "$div", "$div_num", "$rem", "$abs", "$second",
 
 
 def _flat_value_display(node, labels: Column, computed: Column,
-                        label_columns=None) -> Column:
+                        label_columns=None, label_fvs=None) -> Column:
     """Compile a label_expr expression through the FLAT (whole-stage-
     codegen) tier and render its canonical display string, null on
-    evaluation error.  Raises fastcols.Unsupported outside the tier."""
+    evaluation error.  Raises fastcols.Unsupported outside the tier.
+
+    ``label_fvs`` passes pre-bound (raw, num, flt) leaf columns so every
+    source-label reference compiles to an attribute read instead of
+    re-inlining the dynamic-parse tree (same let-binding the planner
+    does for predicates, planner._flat_bound)."""
     from ..condition import values as V
     from ..condition.ast import Const, Op
     from ..condition import fastcols as FC
 
     fv = FC.FlatCompiler(F.col("ts"), labels, computed,
-                         label_columns=label_columns).compile(node)
+                         label_columns=label_columns,
+                         label_fvs=label_fvs).compile(node)
     err = FC._err(fv)
 
     kind = None
@@ -250,7 +256,7 @@ def _label_expr_compiled(df: DataFrame, params,
                 f"label_expr '{k}' must be a single condition expression")
         specs[k] = nodes[0]
 
-    def make_disp(node, base: Column):
+    def make_disp(node, base: Column, label_fvs=None):
         """Display Column for the expression (null = error): FLAT
         codegen tier first (bound against the source's virtual label
         columns when available — reading ``&value`` then costs a column
@@ -258,7 +264,7 @@ def _label_expr_compiled(df: DataFrame, params,
         tier as the general fallback."""
         try:
             return _flat_value_display(node, F.col("labels"), base,
-                                       label_columns)
+                                       label_columns, label_fvs)
         except Exception:
             pass
         cc = ColumnCompiler(F.col("ts"), F.col("labels"), base)
@@ -279,25 +285,55 @@ def _label_expr_compiled(df: DataFrame, params,
     except Exception:
         return None
 
+    # let-bind the (raw, num, flt) parse of every referenced source
+    # label ONCE (planner._flat_bound's trick, here for value
+    # expressions): each leaf reference inside a label expression then
+    # reads an attribute instead of re-inlining the dynamic-parse
+    # tree — which the ext_pipeline plan showed repeated ~10x per row.
+    # Only source labels pre-bind; @computed refs stay dynamic because
+    # step k must see step k-1's upserts.
+    from ..condition.fastcols import label_parts
+    from ..plans.planner import _collect_refs
+    lnames = set()
+    for node in specs.values():
+        lnames, _cnames = _collect_refs(node, lnames, set())
+    adds, label_fvs = [], {}
+    for i, name in enumerate(sorted(lnames)):
+        raw = (label_columns[name]
+               if label_columns and name in label_columns
+               else F.element_at(F.col("labels"), F.lit(name)))
+        num, flt = label_parts(raw)
+        ra, nu, fl = f"__exr{i}", f"__exn{i}", f"__exf{i}"
+        adds.extend([(ra, raw), (nu, num), (fl, flt)])
+        label_fvs[name] = (F.col(ra), F.col(nu), F.col(fl))
+    if adds:
+        df = df.select("*", *[c.alias(a) for a, c in adds])
+
     # map_concat-as-upsert needs last-wins key dedup (the engine's label
     # merge semantic); the alternative — map_filter the old key out —
     # costs a lambda, and ONE higher-order function in the projection
     # drops the whole stage out of codegen (measured 2x slower than even
     # the Arrow round-trip)
     df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    for k, node in specs.items():
+    for j, (k, node) in enumerate(specs.items()):
         # a null computed_labels (fresh records) must read as {} — every
         # map op on NULL is NULL and would silently swallow the upsert
         base = F.coalesce(F.col("computed_labels"), empty)
-        disp = make_disp(node, base)
+        # let-bind the display value too: the upsert references it twice
+        # (null-guard + map value); as a bound attribute the expression
+        # evaluates once and CollapseProject keeps it separate (non-cheap,
+        # multi-referenced expressions are not re-inlined)
+        dname = f"__exd{j}"
+        df = df.withColumn(dname, make_disp(node, base, label_fvs))
+        disp = F.col(dname)
         # on error (disp null) the label keeps any pre-existing value —
         # the interpreter's try/except leaves computed[k] untouched
         df = df.withColumn(
             "computed_labels",
             F.when(disp.isNotNull(),
                    F.map_concat(base, F.create_map(F.lit(k), disp)))
-            .otherwise(base))
-    return df
+            .otherwise(base)).drop(dname)
+    return df.drop(*[a for a, _ in adds])
 
 
 # ---------------------------------------------------------------------------
