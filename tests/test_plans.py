@@ -193,3 +193,52 @@ def test_time_stateful_walk_is_keys_only(spark, sf_dir, qname):
     line = [l for l in plan.split("\n") if "FlatMapGroupsInPandas" in l][0]
     assert "labels" not in line and "props" not in line, line
     assert "LeftSemi" in plan, plan[:600]
+
+
+def test_rollup_single_shuffle_expand(spark, sf_dir):
+    """ROLLUP computes all grouping levels from ONE Expand + one
+    aggregation shuffle — never a per-level rescan of the fact table."""
+    plan = plan_of(QUERIES["agg_rollup"][0](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, "rollup rescanned the fact table"
+    assert plan.count("Exchange") == 1, "rollup needs exactly one shuffle"
+
+
+def test_anti_and_scalar_joins_broadcast(spark, sf_dir):
+    """The Q22-style anti join: threshold is a 1-row broadcast, the
+    recent-orders anti side a broadcast hash join — no shuffle of
+    customer for either."""
+    plan = plan_of(QUERIES["join_anti_inactive"][0](spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_ops_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["user_set_ops"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_curriculum_window_is_partitioned(spark, sf_dir):
+    """The cumsum window partitions by source — the shuffle is a hash
+    partitioning on source, never a single-partition global sort."""
+    plan = plan_of(QUERIES["curriculum_mix"][0](spark, sf_dir))
+    assert "hashpartitioning(source" in plan, plan[:800]
+    assert "SinglePartition" not in plan
+
+
+def test_gapfill_grid_is_distributed_explode(spark, sf_dir):
+    """The dense gapfill grid comes from a distributed sequence explode
+    over the reduced key list (a Generate node), not a driver-side
+    calendar; the only nested-loop is the 1-row span broadcast."""
+    plan = plan_of(QUERIES["gapfill_daily"][0](spark, sf_dir))
+    assert "Generate explode" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_ext_pipeline_binds_leaves_once(spark, sf_dir):
+    """Compiled extensions pre-bind the label parse: the numeric-parse
+    regex appears a bounded number of times in the plan (once per bound
+    leaf + one dry-run remnant), not once per AST reference."""
+    plan = plan_of(QUERIES["ext_pipeline"][0](spark, sf_dir))
+    assert plan.count("RLIKE") <= 4, f"leaf parse re-inlined: {plan.count('RLIKE')} RLIKEs"
