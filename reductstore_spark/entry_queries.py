@@ -2633,6 +2633,90 @@ FROM events GROUP BY user_id
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel analysis: per user, the first click and the first purchase
+    within 24 h after it — the click->purchase conversion primitive.
+
+    Scale shape: the first-click step is one map-side-combined aggregate;
+    the candidate purchases join on user_id equality (hash join) with the
+    time bound as a post-join filter, then re-aggregate — never an
+    inequality-only join."""
+    prep(spark)
+    from .schema import raw_ts_us
+    ev = _t(spark, sf_dir, "events")
+    us = raw_ts_us(ev)
+    first_click = (ev.where(F.col("event_type") == "click")
+                   .groupBy("user_id")
+                   .agg(F.min(us).alias("first_click_us")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", us.alias("p_us")))
+    h24 = 24 * 3600 * 1_000_000
+    # inner-join + in-window filter + aggregate FIRST, then left join back
+    # onto the click cohort: a user whose purchases all fall outside the
+    # window must still appear (converted = false)
+    in_window = (first_click.join(purchases, "user_id")
+                 .where((F.col("p_us") >= F.col("first_click_us"))
+                        & (F.col("p_us") < F.col("first_click_us") + h24))
+                 .groupBy("user_id")
+                 .agg(F.min("p_us").alias("first_purchase_us")))
+    return (first_click.join(in_window, "user_id", "left")
+            .select("user_id", "first_click_us", "first_purchase_us",
+                    F.col("first_purchase_us").isNotNull().alias("converted")))
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH fc AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_click_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+fp AS (
+  SELECT fc.user_id, first_click_us, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM fc JOIN events e ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= first_click_us
+    AND epoch_us(e.ts) < first_click_us + 86400000000
+  GROUP BY fc.user_id, first_click_us
+)
+SELECT fc.user_id, fc.first_click_us, fp.first_purchase_us,
+       fp.first_purchase_us IS NOT NULL AS converted
+FROM fc LEFT JOIN fp ON fp.user_id = fc.user_id
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort day, day offset) the number of distinct users active then —
+    the classic retention triangle.
+
+    Scale shape: first-seen is one aggregate on user_id; activity is a
+    distinct on (user, day); the cohort join keys on user_id (hash
+    join); the final aggregate is map-side combined.  All shuffles key
+    on user_id or the small (cohort, offset) pair."""
+    prep(spark)
+    from .schema import raw_ts_us
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    day = (raw_ts_us(ev) - F.pmod(raw_ts_us(ev), F.lit(day_us))) / F.lit(day_us)
+    act = ev.select("user_id", day.cast("long").alias("day")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (act.join(cohort, "user_id")
+            .groupBy("cohort_day",
+                     (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       count(DISTINCT act.user_id) AS n_users
+FROM act JOIN cohort ON act.user_id = cohort.user_id
+GROUP BY cohort_day, day_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2723,6 +2807,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
     "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
 }
