@@ -2717,6 +2717,222 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Vocabulary profile per source: distinct word types, token count,
+    hapax legomena (words seen once), and the type/token ratio — the
+    Zipf-curve summary a corpus audit starts with.
+
+    Scale shape: one explode + two aggregations on the same word key
+    (map-side combined); the per-source fold is a tiny second shuffle."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("source",
+                    F.explode(normalized_words(F.col("text"))).alias("w"))
+    counts = w.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (counts.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum("c").alias("n_tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"))
+            .select("source", "n_types", "n_tokens", "n_hapax",
+                    F.round(F.col("n_types") / F.col("n_tokens"), 6)
+                     .alias("type_token_ratio")))
+
+
+SQL_VOCAB_STATS = r"""
+WITH w AS (
+  SELECT source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ')) AS w
+  FROM documents
+), c AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w)
+SELECT source, count(*) AS n_types, sum(c) AS n_tokens,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM c GROUP BY source
+"""
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (min count 10) — boilerplate/fixed-phrase discovery over a corpus.
+
+    Scale shape: bigram construction stays in codegen (posexplode +
+    lead); unigram counts are a broadcastable vocabulary; the two scalar
+    totals ride a 1-row broadcast; final top-k is TakeOrderedAndProject."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    from .operators.topk import global_top_k
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(normalized_words(F.col("text"))).alias("pos", "w"))
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    grams = (words.withColumn("w2", nxt).where(F.col("w2").isNotNull())
+             .select(F.col("w").alias("w1"), "w2"))
+    cg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = (words.agg(F.count(F.lit(1)).alias("n_uni"))
+              .crossJoin(grams.agg(F.count(F.lit(1)).alias("n_bi"))))
+    pmi = (cg.join(F.broadcast(cu.withColumnRenamed("w", "w1")
+                               .withColumnRenamed("c", "cx")), "w1")
+           .join(F.broadcast(cu.withColumnRenamed("w", "w2")
+                             .withColumnRenamed("c", "cy")), "w2")
+           .crossJoin(F.broadcast(totals))
+           .where(F.col("c_xy") >= 10)
+           .select("w1", "w2", "c_xy",
+                   F.round(F.log((F.col("c_xy") / F.col("n_bi"))
+                                 / ((F.col("cx") / F.col("n_uni"))
+                                    * (F.col("cy") / F.col("n_uni")))), 6)
+                   .alias("pmi")))
+    return global_top_k(pmi, 20, [F.desc("pmi"), F.asc("w1"), F.asc("w2")],
+                        rank_col="rnk")
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH w AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+    AS ws
+  FROM documents
+), u AS (SELECT unnest(ws) AS w FROM w),
+cu AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+nu AS (SELECT count(*) AS n_uni FROM u),
+g AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+  FROM w
+), gg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM g),
+cg AS (SELECT w1, w2, count(*) AS c_xy FROM gg GROUP BY w1, w2),
+ng AS (SELECT count(*) AS n_bi FROM gg),
+pmi AS (
+  SELECT w1, w2, c_xy,
+    round(ln((c_xy / CAST(n_bi AS DOUBLE))
+             / ((cx / CAST(n_uni AS DOUBLE)) * (cy / CAST(n_uni AS DOUBLE)))), 6)
+      AS pmi
+  FROM cg
+  JOIN (SELECT w AS w1, c AS cx FROM cu) USING (w1)
+  JOIN (SELECT w AS w2, c AS cy FROM cu) USING (w2)
+  CROSS JOIN nu CROSS JOIN ng
+  WHERE c_xy >= 10
+)
+SELECT w1, w2, c_xy, pmi,
+  CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rnk
+FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labelled language with
+    counts — the evaluation readout for the heuristic classifier."""
+    prep(spark)
+    pred = q_lang_id(spark, sf_dir)
+    return (pred.groupBy(F.col("actual_lang"), F.col("predicted_lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_LANGID_CONFUSION = (
+    "SELECT actual_lang, predicted_lang, count(*) AS n_docs FROM ("
+    + SQL_LANG_ID
+    + ") GROUP BY actual_lang, predicted_lang"
+)
+
+
+def q_minhash_accuracy(spark, sf_dir):
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    *estimate* of Jaccard (fraction of agreeing signature components)
+    next to the exact shingle Jaccard and the absolute error — the
+    measurement that justifies a banding configuration before a 100 TB
+    dedup run.
+
+    Scale shape: identical to dedup_minhash (shuffle payloads are ids +
+    hashes; shingle sets rematerialize only for the candidate ids via a
+    semi join); estimates are exact multiples of 1/8, so cross-engine
+    comparison is bit-stable."""
+    prep(spark)
+    from .operators.dedup import (exploded_shingles, hashed_shingles,
+                                  shingle_arrays)
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("__text"))
+    nh, nb, rows = 8, 4, 2
+    exploded = exploded_shingles(base, "id", "__text", 3)
+    hashed = exploded.select(
+        "id", *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+                for i in range(nh)])
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(nh)])
+    band_cols = [F.md5(F.concat(*[F.col(f"sig{b * rows + r}")
+                                  for r in range(rows)])) for b in range(nb)]
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"sig{i}").alias(f"sa{i}") for i in range(nh)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"sig{i}").alias(f"sb{i}") for i in range(nh)])
+    agree = sum(F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+                for i in range(nh))
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", (agree / F.lit(float(nh))).alias("est_jaccard"))
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .union(cand.select(F.col("id_b").alias("id"))).distinct())
+    sets = shingle_arrays(base.join(cand_ids, "id", "left_semi"),
+                          "id", "__text", 3)
+    sets = sets.select("id", hashed_shingles(F.col("sh")).alias("hs"))
+    xa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    xb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    exact = inter / (F.size("hs_a") + F.size("hs_b") - inter)
+    return (est.join(xa, "id_a").join(xb, "id_b")
+            .select("id_a", "id_b", "est_jaccard",
+                    F.round(exact, 6).alias("exact_jaccard"),
+                    F.round(F.abs(F.col("est_jaccard") - F.round(exact, 6)), 6)
+                     .alias("abs_err")))
+
+
+SQL_MINHASH_ACCURACY = r"""
+WITH sh AS (
+  SELECT doc_id AS id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+), sig AS (
+  SELECT id,
+    [list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s))) FOR i IN range(0, 8)] AS sig
+  FROM sh
+), banded AS (
+  SELECT id, unnest([{'idx': b, 'h': md5(sig[2*b+1] || sig[2*b+2])} FOR b IN range(0, 4)]) AS u
+  FROM sig
+), bf AS (
+  SELECT id, u.idx AS band_idx, u.h AS band_hash FROM banded
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bf a JOIN bf b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+), est AS (
+  SELECT id_a, id_b,
+    len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0 AS est_jaccard
+  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, est_jaccard,
+       round(inter / (na + nb - inter), 6) AS exact_jaccard,
+       round(abs(est_jaccard - round(inter / (na + nb - inter), 6)), 6) AS abs_err
+FROM (
+  SELECT e.id_a, e.id_b, e.est_jaccard,
+    len(list_intersect(list_transform(x.sh, s -> md5(s)[1:15]),
+                       list_transform(y.sh, s -> md5(s)[1:15])))::DOUBLE AS inter,
+    len(x.sh) AS na, len(y.sh) AS nb
+  FROM est e JOIN sh x ON x.id = e.id_a JOIN sh y ON y.id = e.id_b
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2809,6 +3025,10 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "minhash_accuracy": (q_minhash_accuracy, SQL_MINHASH_ACCURACY),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
 }
