@@ -2933,6 +2933,34 @@ FROM (
 """
 
 
+def q_sql_surface(spark, sf_dir):
+    """The SQL API driven end-to-end: register the catalog views
+    (catalog.register_tables) and run textual SQL over the *records*
+    model — label-map lookups, a filter, grouped aggregates and an exact
+    distinct count, all through ``spark.sql``.  Shows a reference user
+    gets full ANSI SQL over the same data the condition language sees."""
+    from .catalog import register_tables
+    register_tables(prep(spark), sf_dir)
+    return spark.sql("""
+        SELECT entry, count(*) AS n,
+               CAST(SUM(CAST(CAST(labels['value'] AS DOUBLE)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               count(DISTINCT labels['user']) AS n_users
+        FROM records
+        WHERE CAST(labels['value'] AS DOUBLE) > 50
+        GROUP BY entry
+    """)
+
+
+SQL_SQL_SURFACE = """
+SELECT event_type AS entry, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE value > 50
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3025,6 +3053,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "sql_surface": (q_sql_surface, SQL_SQL_SURFACE),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
