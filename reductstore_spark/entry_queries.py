@@ -2961,6 +2961,32 @@ GROUP BY event_type
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling over media payloads: 1->N expansion, one frame key
+    per 512-byte chunk (every_n=2) — the video-frame / audio-window
+    extraction shape (operators/multimodal.py).  Pure-Column: the
+    expansion is a codegen posexplode, the frame key a JVM sha2; at
+    100 TB the payload column is projected only into this stage."""
+    prep(spark)
+    from .operators.multimodal import attach_payload, frame_sample_stub
+    docs = _t(spark, sf_dir, "documents")
+    frames = frame_sample_stub(attach_payload(docs), every_n=2)
+    return frames.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+                         "frame_key")
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(u AS BIGINT) AS frame_idx,
+       sha256(text || CAST(u AS VARCHAR)) AS frame_key
+FROM (
+  SELECT doc_id, text,
+    unnest(generate_series(0,
+      GREATEST(CAST(floor(octet_length(encode(text)) / 512.0) AS BIGINT), 1) - 1)) AS u
+  FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3020,6 +3046,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
