@@ -28,8 +28,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from reductstore_spark.caching import release_caches
-    from reductstore_spark.entry_queries import QUERIES, prep
+    from reductstore_spark.entry_queries import BENCH_EXCLUDE, prep
+    from reductstore_spark.entry_queries import QUERIES as ALL_QUERIES
     from reductstore_spark.session import get_session
+
+    # streaming-path entries materialize a store + run a real stream per
+    # invocation — they stay in the CORRECTNESS gate (queries()) but are
+    # not a throughput measurement
+    QUERIES = {n: v for n, v in ALL_QUERIES.items() if n not in BENCH_EXCLUDE}
 
     spark = get_session("bench", master=f"local[{cpus}]",
                         shuffle_partitions=int(cpus))

@@ -2987,6 +2987,68 @@ FROM (
 """
 
 
+def q_stream_rollup(spark, sf_dir):
+    """The ACTUAL Structured Streaming path driven through the oracle
+    gate: events -> records -> RecordStore -> file-stream continuous
+    query -> watermarked daily rollup -> append-mode parquet sink
+    (Trigger.AvailableNow), then the sink is read back.
+
+    Append mode emits a (entry, day) bucket exactly once, when the
+    watermark (max event time - 1 h) passes its end — so the oracle is
+    the batch GROUP BY *restricted to closed windows*, which pins the
+    watermark semantics themselves, not just the aggregation.  All data
+    rides one micro-batch (max_files_per_trigger) so no record is
+    dropped as late by a mid-run watermark; counts are integers, so the
+    comparison is exact."""
+    import shutil
+    import tempfile
+
+    from .sources.store import RecordStore
+    from .streaming.continuous import continuous_query
+    from .streaming.rollup import windowed_rollup
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_stream_rollup_")
+    try:
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        roll = windowed_rollup(
+            continuous_query(spark, store_dir, max_files_per_trigger=1_000_000),
+            window_duration="1 day", watermark_delay="1 hour")
+        q = (roll.writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = spark.read.parquet(out).select(
+            "entry", "win_start", "win_end", "n", "first_ts", "last_ts")
+        # materialize before the temp store is deleted
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_ROLLUP = """
+WITH r AS (SELECT event_type AS entry, epoch_us(ts) AS us FROM events),
+wm AS (SELECT max(us) - 3600000000 AS w FROM r),
+b AS (
+  SELECT entry, us // 86400000000 AS day, count(*) AS n,
+         min(us) AS first_ts, max(us) AS last_ts
+  FROM r GROUP BY entry, day
+)
+SELECT entry, day * 86400000000 AS win_start,
+       (day + 1) * 86400000000 AS win_end, n, first_ts, last_ts
+FROM b, wm WHERE (day + 1) * 86400000000 <= w
+"""
+
+
+# queries that materialize a store + run a real stream per invocation:
+# correctness-gate only, excluded from the timing loop in bench.py
+BENCH_EXCLUDE = {"stream_rollup"}
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3087,4 +3149,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "minhash_accuracy": (q_minhash_accuracy, SQL_MINHASH_ACCURACY),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
+    "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
 }
