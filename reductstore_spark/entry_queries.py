@@ -3044,9 +3044,52 @@ FROM b, wm WHERE (day + 1) * 86400000000 <= w
 """
 
 
+def q_stream_replication(spark, sf_dir):
+    """The replication pipeline driven end-to-end through the gate:
+    records land in a source store, a standing filtered stream (entry
+    globs + `when` condition + bucket rename + dst prefix) pushes them
+    into a DESTINATION store via foreachBatch, and the destination's
+    resolved read comes back for comparison — §2.C replication semantics
+    (transaction_filter.rs) checked externally, not just by unit tests."""
+    import shutil
+    import tempfile
+
+    from .sources.store import RecordStore
+    from .streaming.replication import ReplicationSettings, start_replication
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_stream_repl_")
+    try:
+        src_dir, dst_dir, cp = f"{root}/src", f"{root}/dst", f"{root}/cp"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, src_dir).write(recs)
+        settings = ReplicationSettings(
+            src_bucket="events", dst_bucket="replica",
+            entries=["c*", "purchase"], dst_prefix="mirror/",
+            when={"&value": {"$gt": 100}})
+        q = start_replication(spark, src_dir, dst_dir, settings, cp,
+                              available_now=True)
+        q.awaitTermination(300)
+        got = (RecordStore(spark, dst_dir).read()
+               .select("bucket", "entry", "ts"))
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_REPLICATION = """
+SELECT 'replica' AS bucket, 'mirror/' || event_type AS entry,
+       epoch_us(ts) AS ts
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value > 100
+"""
+
+
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
-BENCH_EXCLUDE = {"stream_rollup"}
+BENCH_EXCLUDE = {"stream_rollup", "stream_replication"}
 
 
 # ---------------------------------------------------------------------------
@@ -3150,4 +3193,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
     "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
+    "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
 }
