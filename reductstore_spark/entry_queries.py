@@ -3087,9 +3087,46 @@ WHERE event_type IN ('click', 'purchase') AND value > 100
 """
 
 
+def q_stream_each_t(spark, sf_dir):
+    """$each_t on the STREAMING path, state carried across micro-batches:
+    records land in a store, the continuous query is capped at 8 files
+    per trigger so the run spans many micro-batches, and the per-entry
+    decimation state (last kept ts) must survive every batch boundary
+    (streaming/stateful.py applyInPandasWithState).  The oracle is the
+    same recursive-CTE replay as the batch each_t — the stream must
+    produce exactly the batch answer."""
+    import shutil
+    import tempfile
+
+    from .sources.store import RecordStore
+    from .streaming.continuous import continuous_query
+    from .streaming.stateful import stateful_stream
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_stream_eacht_")
+    try:
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        stream = stateful_stream(
+            continuous_query(spark, store_dir, max_files_per_trigger=8),
+            when={"$each_t": "30m"})
+        q = (stream.select("entry", "ts")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = spark.read.parquet(out).select("entry", "ts")
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
-BENCH_EXCLUDE = {"stream_rollup", "stream_replication"}
+BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t"}
 
 
 # ---------------------------------------------------------------------------
@@ -3194,4 +3231,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
     "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
     "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
+    "stream_each_t": (q_stream_each_t, SQL_EACH_T),
 }
