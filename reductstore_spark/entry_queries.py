@@ -3124,9 +3124,45 @@ def q_stream_each_t(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_gate(spark, sf_dir):
+    """$gate on the STREAMING path: the edge-trigger deadline, previous
+    input, and reset latch must all survive micro-batch boundaries
+    (8 files per trigger forces many) to reproduce the batch state
+    machine exactly — checked against the same recursive-CTE oracle as
+    the batch gate."""
+    import shutil
+    import tempfile
+
+    from .sources.store import RecordStore
+    from .streaming.continuous import continuous_query
+    from .streaming.stateful import stateful_stream
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_stream_gate_")
+    try:
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        stream = stateful_stream(
+            continuous_query(spark, store_dir, max_files_per_trigger=8),
+            when={"$gate": ["2h", {"&value": {"$gt": 100}}]})
+        q = (stream.select("entry", "ts")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = spark.read.parquet(out).select("entry", "ts")
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
-BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t"}
+BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
+                 "stream_gate"}
 
 
 # ---------------------------------------------------------------------------
@@ -3232,4 +3268,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
     "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
     "stream_each_t": (q_stream_each_t, SQL_EACH_T),
+    "stream_gate": (q_stream_gate, SQL_GATE),
 }
