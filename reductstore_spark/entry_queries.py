@@ -3159,10 +3159,54 @@ def q_stream_gate(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_restart(spark, sf_dir):
+    """Continuous-query restart semantics through the gate: half the
+    records are written and drained, the rest are appended and a SECOND
+    run over the SAME checkpoint drains again — the reference's
+    restart-from-last-point contract (continuous.rs:16-84) means the
+    union must contain every record exactly once (no reprocessing, no
+    gaps).  The oracle is simply the full filtered select."""
+    import shutil
+    import tempfile
+
+    from .sources.store import RecordStore
+    from .streaming.continuous import continuous_query
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_stream_restart_")
+    try:
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        store = RecordStore(spark, store_dir)
+        store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 0))
+        for _run in range(2):
+            q = (continuous_query(spark, store_dir,
+                                  when={"&value": {"$gt": 50}})
+                 .select("entry", "ts")
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", cp)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            if _run == 0:
+                store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 1))
+        got = spark.read.parquet(out).select("entry", "ts")
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_RESTART = """
+SELECT event_type AS entry, epoch_us(ts) AS ts
+FROM events WHERE value > 50
+"""
+
+
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
-                 "stream_gate"}
+                 "stream_gate", "stream_restart"}
 
 
 # ---------------------------------------------------------------------------
@@ -3269,4 +3313,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
     "stream_each_t": (q_stream_each_t, SQL_EACH_T),
     "stream_gate": (q_stream_gate, SQL_GATE),
+    "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
 }
