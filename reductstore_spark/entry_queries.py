@@ -3203,10 +3203,53 @@ FROM events WHERE value > 50
 """
 
 
+def q_lifecycle_delete(spark, sf_dir):
+    """Lifecycle delete action through the gate: records land in a store,
+    a policy removes everything older than 10 days (relative to the
+    corpus max ts) whose value label exceeds 100, the COMPRESS action
+    then compacts the remaining old partitions, and the store's resolved
+    read comes back — delete.rs/compress.rs semantics (anti-join
+    partition rewrite + shadow-dropping compaction) checked externally."""
+    import shutil
+    import tempfile
+
+    from .sources.lifecycle import (LifecyclePolicy, run_compress_action,
+                                    run_delete_action)
+    from .sources.store import RecordStore
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_lifecycle_")
+    try:
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        store = RecordStore(spark, f"{root}/store")
+        store.write(recs)
+        now_us = recs.agg(F.max("ts")).collect()[0][0]
+        policy = LifecyclePolicy(bucket="events",
+                                 older_than_us=10 * 86_400_000_000,
+                                 when={"&value": {"$gt": 100}})
+        run_delete_action(store, policy, now_us=now_us)
+        run_compress_action(store, "events",
+                            older_than_us=10 * 86_400_000_000, now_us=now_us)
+        got = store.read().select("entry", "ts")
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_LIFECYCLE_DELETE = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+SELECT event_type AS entry, epoch_us(ts) AS ts
+FROM events, mx
+WHERE NOT (epoch_us(ts) < now_us - 10 * 86400000000 AND value > 100)
+"""
+
+
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
-                 "stream_gate", "stream_restart"}
+                 "stream_gate", "stream_restart", "lifecycle_delete"}
 
 
 # ---------------------------------------------------------------------------
@@ -3314,4 +3357,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_each_t": (q_stream_each_t, SQL_EACH_T),
     "stream_gate": (q_stream_gate, SQL_GATE),
     "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
+    "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
 }
