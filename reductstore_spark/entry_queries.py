@@ -3203,6 +3203,25 @@ FROM events WHERE value > 50
 """
 
 
+def q_read_single(spark, sf_dir):
+    """Single-record reads through the engine's read_one path
+    (read_single.rs): the latest FINISHED record of every entry, each a
+    filtered TakeOrdered(1) — unioned into one plan, so the gate pins
+    the exact/latest read semantics."""
+    from functools import reduce
+    prep(spark)
+    recs = _records(spark, sf_dir)
+    parts = [_QE.read_one(recs, "events", e).select("entry", "ts")
+             for e in ["click", "view", "purchase", "signup", "error"]]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+SQL_READ_SINGLE = """
+SELECT event_type AS entry, max(epoch_us(ts)) AS ts
+FROM events GROUP BY event_type
+"""
+
+
 def q_lifecycle_delete(spark, sf_dir):
     """Lifecycle delete action through the gate: records land in a store,
     a policy removes everything older than 10 days (relative to the
@@ -3358,4 +3377,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_gate": (q_stream_gate, SQL_GATE),
     "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
     "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
+    "read_single": (q_read_single, SQL_READ_SINGLE),
 }
