@@ -3203,6 +3203,92 @@ FROM events WHERE value > 50
 """
 
 
+def q_length_outliers(spark, sf_dir):
+    """Outlier detection: documents whose length is > 2 population
+    standard deviations from their language's mean.  Mean/variance
+    derive from decimal-exact sum and sum-of-squares (order-independent
+    — a naive stddev_pop would float-drift across partitionings), so the
+    z-scores are bit-stable across engines."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    dec = F.col("n_chars").cast("decimal(28,0)")
+    stats = (docs.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(dec).cast("double").alias("s1"),
+                  F.sum(dec * dec).cast("double").alias("s2")))
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    z = (F.col("n_chars") - mu) / F.sqrt(var)
+    return (docs.join(F.broadcast(stats), "lang")
+            .where(F.abs(z) > 2)
+            .select("doc_id", "lang", "n_chars", F.round(z, 6).alias("z")))
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH st AS (
+  SELECT lang, count(*) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n_chars AS DECIMAL(28,0))
+                  * CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, n_chars,
+       round((n_chars - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+FROM documents JOIN st USING (lang)
+WHERE abs((n_chars - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2
+"""
+
+
+def q_class_spread(spark, sf_dir):
+    """Cluster-quality profile: per embedding class, the exact centroid
+    (decimal per-dimension sums — order-independent) and each vector's
+    squared distance to it, aggregated to n / mean / max spread.
+
+    Scale shape: one explode + per-(label, dim) decimal aggregate (map-
+    side combined), centroids broadcast back onto the vectors, distance
+    folded per row — the intra-class variance audit run before/after
+    clustering or quantization at corpus scale."""
+    prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select("label", "vec_id",
+                      F.posexplode("embedding").alias("d", "x"))
+    cent = (dims.groupBy("label", "d")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                  / F.count(F.lit(1))).alias("c")))
+    sq = (dims.join(F.broadcast(cent), ["label", "d"])
+          .withColumn("dd", (F.col("x").cast("double") - F.col("c"))
+                      * (F.col("x").cast("double") - F.col("c")))
+          .groupBy("label", "vec_id")
+          .agg(F.sum(F.col("dd").cast("decimal(30,15)")).alias("dist2")))
+    return (sq.groupBy(F.col("label").cast("long").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum("dist2").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_dist2"),
+                 F.round(F.max("dist2").cast("double"), 6).alias("max_dist2")))
+
+
+SQL_CLASS_SPREAD = """
+WITH dims AS (
+  SELECT label, vec_id, unnest(generate_series(1, len(embedding))) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, d,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+  FROM dims GROUP BY label, d
+), sq AS (
+  SELECT dims.label, vec_id,
+         SUM(CAST((x - c) * (x - c) AS DECIMAL(30,15))) AS dist2
+  FROM dims JOIN cent ON dims.label = cent.label AND dims.d = cent.d
+  GROUP BY dims.label, vec_id
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       round(CAST(SUM(dist2) AS DOUBLE) / count(*), 6) AS mean_dist2,
+       round(CAST(MAX(dist2) AS DOUBLE), 6) AS max_dist2
+FROM sq GROUP BY label
+"""
+
+
 def q_read_single(spark, sf_dir):
     """Single-record reads through the engine's read_one path
     (read_single.rs): the latest FINISHED record of every entry, each a
@@ -3378,4 +3464,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
     "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
     "read_single": (q_read_single, SQL_READ_SINGLE),
+    "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
+    "class_spread": (q_class_spread, SQL_CLASS_SPREAD),
 }
