@@ -227,8 +227,32 @@ class RecordStore:
         ).select("bucket", "entry", "ts_day").distinct()
         part = raw.join(F.broadcast(affected), _PARTITIONING, "left_semi")
         kept = part.join(F.broadcast(keys), ["bucket", "entry", "ts"], "left_anti")
+        # dynamic partition overwrite only replaces partitions PRESENT in
+        # the written frame — a partition whose every record matched would
+        # produce zero rows, write nothing, and silently keep its old
+        # files.  Delete those fully-emptied partitions explicitly.
+        aff = {(r["bucket"], r["entry"], r["ts_day"])
+               for r in affected.collect()}
+        survivors = {(r["bucket"], r["entry"], r["ts_day"])
+                     for r in kept.select(*_PARTITIONING).distinct().collect()}
         self._overwrite_partitions(kept)
+        self._delete_partition_dirs(aff - survivors)
         return n
+
+    def _delete_partition_dirs(self, parts) -> None:
+        """Remove partition directories from disk (escaped and raw entry
+        spellings both tried — Spark %-escapes '/' in partition values).
+        Local-FS implementation; an object-store deployment swaps this
+        for a prefix delete."""
+        import shutil
+        from urllib.parse import quote
+
+        for bucket, entry, ts_day in parts:
+            for ent in {quote(str(entry), safe=""), str(entry)}:
+                path = os.path.join(
+                    self.root, f"bucket={bucket}", f"entry={ent}",
+                    f"ts_day={ts_day}")
+                shutil.rmtree(path, ignore_errors=True)
 
     def update_labels(self, updates: DataFrame) -> int:
         """Batch label upsert/remove (storage/entry/update_labels.rs:14-160).

@@ -46,14 +46,23 @@ class ReplicationSettings:
 
 
 def replication_stream(spark: SparkSession, src_root: str,
-                       settings: ReplicationSettings) -> DataFrame:
-    """The filtered/renamed stream of records to replicate."""
+                       settings: ReplicationSettings,
+                       exclude_entries: Optional[List[str]] = None) -> DataFrame:
+    """The filtered/renamed stream of records to replicate.
+
+    ``exclude_entries``: exact source entry names dropped from the
+    stream regardless of the include patterns — used for the PR-1567
+    feedback-loop guard (a ``$system``-source replication must not
+    replicate its own per-batch diagnostics, or each batch's diagnostic
+    record becomes new source data for the next)."""
     df = continuous_query(
         spark, src_root,
         entries=settings.entries if settings.entries else None,
         when=settings.when,
     )
     df = df.where(F.col("bucket") == settings.src_bucket)
+    if exclude_entries:
+        df = df.where(~F.col("entry").isin(list(exclude_entries)))
     return df.withColumn(
         "bucket", F.lit(settings.dst_bucket)
     ).withColumn(
@@ -73,7 +82,16 @@ def start_replication(spark: SparkSession, src_root: str, dst_root: str,
     on a flush window, PR-1417; here the micro-batch is the natural
     aggregation grain)."""
     dst = RecordStore(spark, dst_root)
-    stream = replication_stream(spark, src_root, settings)
+    # PR-1567: when $system is the replication SOURCE, the task's own
+    # per-batch diagnostics must not re-enter the stream (each batch's
+    # diagnostic record would otherwise be fresh source data forever)
+    exclude = None
+    if syslog is not None:
+        from ..sources.syslog import SYSTEM_BUCKET
+        if settings.src_bucket == SYSTEM_BUCKET:
+            exclude = [f"replications/{syslog.instance}/{name}"]
+    stream = replication_stream(spark, src_root, settings,
+                                exclude_entries=exclude)
 
     if settings.compression not in ("none", "zstd", "gzip"):
         raise ValueError(f"unknown compression '{settings.compression}'")

@@ -90,3 +90,27 @@ def test_read_one(spark, store):
     assert latest[0]["ts"] == 3 * US_PER_DAY + 3_000_000
     missing = qe.read_one(store.read(), "b1", "e1", ts=12345).collect()
     assert missing == []
+
+
+def test_lifecycle_delete_entry_globs(spark, tmp_path):
+    """PR-1526 parity: lifecycle task filters accept glob-like entry
+    patterns including exclusions — only matching entries are deleted."""
+    from reductstore_spark.sources.lifecycle import (LifecyclePolicy,
+                                                     run_delete_action)
+
+    store = RecordStore(spark, str(tmp_path / "s"))
+    B = 1_700_000_000_000_000
+    rows = []
+    for entry in ["cam1/front", "cam2/front", "logs"]:
+        rows += [("b1", entry, B + i * 1_000_000, None, "", 1, {}, {})
+                 for i in range(3)]
+    store.write(spark.createDataFrame(rows, SCHEMA))
+
+    policy = LifecyclePolicy(bucket="b1", older_than_us=1,
+                             entries=["cam*", "!cam2/**"])
+    n = run_delete_action(store, policy, now_us=B + 10_000_000_000)
+    assert n == 3  # only cam1/front's records
+    left = {(r["entry"], r["ts"]) for r in
+            store.read().select("entry", "ts").collect()}
+    assert {e for e, _ in left} == {"cam2/front", "logs"}
+    assert len(left) == 6

@@ -253,3 +253,35 @@ def test_deduped_ingest_batch_mode_equivalent(spark):
                  for r in deduped_ingest(df).select("entry", "ts").collect())
     assert got == [("e1", 0), ("e1", 1_000_000)]
     assert deduped_ingest(df).columns == df.columns
+
+
+def test_system_source_replication_excludes_own_diagnostics(spark, tmp_path):
+    """PR-1567 parity: replicating the $system bucket must not replicate
+    the task's OWN per-batch diagnostics (feedback loop), while other
+    $system events replicate normally."""
+    from reductstore_spark.sources.syslog import SystemEventLog
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    cp = str(tmp_path / "cp")
+    src = RecordStore(spark, src_root)
+    syslog = SystemEventLog(src, instance="i1")
+    B = 1_700_000_000_000_000
+    syslog.emit([("lifecycle_run/b1", B, {"status": "ok"})])
+
+    settings = ReplicationSettings(src_bucket="$system", dst_bucket="sysrep")
+
+    def run():
+        q = start_replication(spark, src_root, dst_root, settings, cp,
+                              available_now=True, syslog=syslog, name="r1")
+        q.awaitTermination(120)
+
+    run()   # replicates the lifecycle event; emits its own diagnostic
+    run()   # sees the diagnostic as new source data -> must exclude it
+
+    dst_entries = {r["entry"] for r in
+                   RecordStore(spark, dst_root).read().select("entry").collect()}
+    assert dst_entries == {"lifecycle_run/b1"}
+    # the diagnostics DID land in the source $system bucket
+    src_entries = {r["entry"] for r in src.read().select("entry").collect()}
+    assert "replications/i1/r1" in src_entries
