@@ -2940,7 +2940,7 @@ def q_sql_surface(spark, sf_dir):
     distinct count, all through ``spark.sql``.  Shows a reference user
     gets full ANSI SQL over the same data the condition language sees."""
     from .catalog import register_tables
-    register_tables(prep(spark), sf_dir)
+    register_tables(prep(spark), sf_dir, tables=("events",))
     return spark.sql("""
         SELECT entry, count(*) AS n,
                CAST(SUM(CAST(CAST(labels['value'] AS DOUBLE)
@@ -3289,6 +3289,41 @@ FROM sq GROUP BY label
 """
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join through the gate: both fact tables are
+    written bucketed+sorted by the join key (sources/bucketed.py), the
+    join runs with ZERO exchange on either side (pinned by
+    test_bucketed_join_no_shuffle), and the aggregate must equal the
+    plain shuffled join — bucketing is an execution-shape change only."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.bucketed import write_bucketed
+
+    prep(spark)
+    root = tempfile.mkdtemp(prefix="rs_bucketed_")
+    u = uuid.uuid4().hex[:8]
+    ob, lb = f"ob_{u}", f"lb_{u}"
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    try:
+        od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(od, ob, ["o_orderkey"], 8, f"{root}/o")
+        write_bucketed(li, lb, ["l_orderkey"], 8, f"{root}/l")
+        res = (spark.table(lb)
+               .join(spark.table(ob),
+                     F.col("l_orderkey") == F.col("o_orderkey"))
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(dec("l_quantity")).cast("double").alias("sum_qty")))
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        for t in (ob, lb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_read_single(spark, sf_dir):
     """Single-record reads through the engine's read_one path
     (read_single.rs): the latest FINISHED record of every entry, each a
@@ -3354,7 +3389,8 @@ WHERE NOT (epoch_us(ts) < now_us - 10 * 86400000000 AND value > 100)
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
-                 "stream_gate", "stream_restart", "lifecycle_delete"}
+                 "stream_gate", "stream_restart", "lifecycle_delete",
+                 "bucketed_join"}
 
 
 # ---------------------------------------------------------------------------
@@ -3466,4 +3502,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "read_single": (q_read_single, SQL_READ_SINGLE),
     "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "class_spread": (q_class_spread, SQL_CLASS_SPREAD),
+    "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
 }
