@@ -3289,6 +3289,57 @@ FROM sq GROUP BY label
 """
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Plagiarism-style candidate pairs: documents sharing >= 3 winnowing
+    fingerprints.  Fingerprints present in > 10 documents are dropped
+    first (posting cap — boilerplate hashes would otherwise square the
+    join), so the pair join is bounded by cap^2 per fingerprint, the
+    same shape as LSH banding.  Shuffle payloads are (id, fp) longs."""
+    prep(spark)
+    from .caching import persist_tracked
+    from .operators.text import winnow_fp_rows_pandas
+    docs = _t(spark, sf_dir, "documents")
+    # referenced by the frequency count and both join sides — persist so
+    # the (Python) fingerprint stage runs once, not three times
+    fps = persist_tracked(
+        winnow_fp_rows_pandas(docs, id_col="doc_id", text_col="text",
+                              k=8, w=4))
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= 10).select("fp"))
+    filtered = fps.join(rare, "fp", "left_semi")
+    a = filtered.select(F.col("doc_id").alias("id_a"), "fp")
+    b = filtered.select(F.col("doc_id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= 3))
+
+
+SQL_WINNOW_OVERLAP = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    [ CAST(list_sum([ (strpos('0123456789abcdef', md5(t[i:i+7])[c:c]) - 1)
+                      * (16 ** (8 - c)) FOR c IN range(1, 9) ]) AS BIGINT)
+      FOR i IN range(1, greatest(length(t) - 7, 1) + 1) ] AS hs
+  FROM norm
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(
+    [ list_min(hs[j:j+3]) FOR j IN range(1, greatest(len(hs) - 3, 1) + 1) ]
+  )) AS fp
+  FROM grams
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10
+), filtered AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM filtered a JOIN filtered b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b HAVING count(*) >= 3
+"""
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join through the gate: both fact tables are
     written bucketed+sorted by the join key (sources/bucketed.py), the
@@ -3503,4 +3554,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "class_spread": (q_class_spread, SQL_CLASS_SPREAD),
     "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
+    "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
 }

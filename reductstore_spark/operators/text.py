@@ -112,3 +112,50 @@ def winnow_digests_pandas(df, id_col: str = "doc_id", text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} bigint, n_fps bigint, fp_digest string")
+
+
+def winnow_fp_rows_pandas(df, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          k: int = 8, w: int = 4):
+    """Exploded (id, fp) winnowing fingerprint rows — the posting-list
+    form that pair-overlap detection joins on.  Same hash pipeline as
+    ``winnow_digests_pandas`` (bit-identical fingerprints), emitted one
+    row per distinct fingerprint per document."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            cache: dict = {}
+
+            def h(g: str) -> int:
+                v = cache.get(g)
+                if v is None:
+                    v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    cache[g] = v
+                return v
+
+            for row, text in enumerate(pdf[text_col].astype(str)):
+                t = ws_re.sub(" ", text.strip(" ").lower())
+                n = len(t)
+                grams = ([t[i:i + k] for i in range(n - k + 1)]
+                         if n > k else [t[:k]])
+                hs = np.fromiter((h(g) for g in grams), dtype=np.int64,
+                                 count=len(grams))
+                mins = (sliding_window_view(hs, w).min(axis=1)
+                        if len(hs) > w else hs.min(keepdims=True))
+                fp = np.unique(mins)
+                ids.extend([pdf[id_col].iat[row]] * len(fp))
+                fps.extend(fp.tolist())
+            yield pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                                "fp": np.asarray(fps, dtype=np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} bigint, fp bigint")
