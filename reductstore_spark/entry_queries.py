@@ -3289,6 +3289,79 @@ FROM sq GROUP BY label
 """
 
 
+def q_nation_trade(spark, sf_dir):
+    """Q7-style bilateral trade: revenue shipped between nation pairs per
+    year, where the supplier's and customer's nations differ.
+
+    Scale shape: lineitem joins orders (shuffle on orderkey) and the
+    supplier/customer dimension paths each end in a broadcast nation —
+    the nation-pair filter prunes before aggregation; the final
+    aggregate keys on the tiny (nation, nation, year) triple."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("sk"),
+                   F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("ck"),
+                   F.col("n_name").alias("cust_nation"))
+    return (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("o_orderdate").cast("long").alias("yr"))
+            .agg(F.sum(_disc_rev_dec()).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+      AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+def q_order_count_dist(spark, sf_dir):
+    """Q13-style customer distribution: how many customers placed k
+    orders, for every k (0 included via the left join).
+
+    Scale shape: the per-customer count shuffles on custkey with
+    map-side combine; the second aggregate keys on the tiny k domain."""
+    prep(spark)
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    per_cust = (cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+SQL_ORDER_COUNT_DIST = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Plagiarism-style candidate pairs: documents sharing >= 3 winnowing
     fingerprints.  Fingerprints present in > 10 documents are dropped
@@ -3493,6 +3566,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "join_anti_inactive": (q_join_anti_inactive, SQL_JOIN_ANTI_INACTIVE),
     "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
     "nation_share": (q_nation_share, SQL_NATION_SHARE),
+    "nation_trade": (q_nation_trade, SQL_NATION_TRADE),
+    "order_count_dist": (q_order_count_dist, SQL_ORDER_COUNT_DIST),
     "user_set_ops": (q_user_set_ops, SQL_USER_SET_OPS),
     # C: LLM pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
