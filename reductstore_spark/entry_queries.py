@@ -2857,18 +2857,23 @@ def q_minhash_accuracy(spark, sf_dir):
     hashed = exploded.select(
         "id", *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
                 for i in range(nh)])
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(nh)])
+    from .caching import persist_tracked
+    # sig feeds the banding plus BOTH estimate join sides; cand feeds the
+    # estimate and the id semi-join — persist so the signature aggregation
+    # and candidate join each run once, not per reference
+    sig = persist_tracked(hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(nh)]))
     band_cols = [F.md5(F.concat(*[F.col(f"sig{b * rows + r}")
                                   for r in range(rows)])) for b in range(nb)]
     banded = sig.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                   & (F.col("a.band_hash") == F.col("b.band_hash"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = persist_tracked(
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]))
     sa = sig.select(F.col("id").alias("id_a"),
                     *[F.col(f"sig{i}").alias(f"sa{i}") for i in range(nh)])
     sb = sig.select(F.col("id").alias("id_b"),
