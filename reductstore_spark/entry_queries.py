@@ -3367,6 +3367,77 @@ SELECT n_orders, count(*) AS n_customers FROM (
 """
 
 
+def q_disjunctive_filter(spark, sf_dir):
+    """Q19-style OR-of-ANDs: three brand/size/quantity clause groups over
+    the part join.  Catalyst extracts the common p_partkey equi-join and
+    pushes the disjunction's part-only conjuncts to the broadcast side —
+    the pattern that separates real pushdown from naive cross-filtering."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    clause = lambda brand, s0, s1, q0, q1: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1))
+    return (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+            .where(clause("Brand#4", 1, 10, 1, 20)
+                   | clause("Brand#2", 5, 20, 10, 30)
+                   | clause("Brand#19", 10, 40, 20, 50))
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.sum(_disc_rev_dec()).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_DISJUNCTIVE_FILTER = """
+SELECT p_brand AS brand,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+      AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)
+GROUP BY p_brand
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """Q15-style: the supplier(s) with maximum revenue in H1 1997 — a
+    decorrelated MAX scalar subquery joined back by equality.  Decimal
+    revenue makes the max comparison exact, so ties (if any) reproduce
+    identically in both engines."""
+    prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("sk"))
+           .agg(F.sum(_disc_rev_dec()).alias("rev_dec")))
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("rev_dec") == F.col("mx"))
+            .join(su, F.col("sk") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.col("rev_dec").cast("double").alias("total_revenue")))
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+        AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON sk = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+"""
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Plagiarism-style candidate pairs: documents sharing >= 3 winnowing
     fingerprints.  Fingerprints present in > 10 documents are dropped
@@ -3573,6 +3644,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "nation_share": (q_nation_share, SQL_NATION_SHARE),
     "nation_trade": (q_nation_trade, SQL_NATION_TRADE),
     "order_count_dist": (q_order_count_dist, SQL_ORDER_COUNT_DIST),
+    "disjunctive_filter": (q_disjunctive_filter, SQL_DISJUNCTIVE_FILTER),
+    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
     "user_set_ops": (q_user_set_ops, SQL_USER_SET_OPS),
     # C: LLM pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
