@@ -80,3 +80,38 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["entry", "ts", "labels"]
+
+
+def test_partition_invariance_subprocess(sf_dir):
+    """Decimal-aggregation discipline means results are bit-identical
+    under ANY parallelism: re-run numerically-sensitive queries in a
+    separate process on local[5]/shuffle=7 and compare to DuckDB."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys; sys.path.insert(0, %r)
+import duckdb
+import __spark_entry__ as e
+from reductstore_spark.session import get_session
+spark = get_session("pinv", master="local[5]", shuffle_partitions=7)
+spark.sparkContext.setLogLevel("ERROR")
+sf = %r
+con = duckdb.connect(); con.sql("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+for name in ["agg_pricing", "nation_share", "class_spread",
+             "embedding_quantize", "agg_rollup", "small_qty_revenue"]:
+    sdf = e.queries()[name](spark, sf)
+    cols = sorted(sdf.columns)
+    srows = sorted([tuple(map(repr, r)) for r in sdf.select(*cols).collect()])
+    drows = sorted([tuple(map(repr, r)) for r in con.sql(
+        f"SELECT {', '.join(cols)} FROM ({e.oracle_sql()[name]})").fetchall()])
+    assert srows == drows, name
+print("PINV-OK")
+spark.stop()
+""" % ("/root/repo", sf_dir)
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=600)
+    assert "PINV-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
