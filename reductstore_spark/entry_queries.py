@@ -3438,6 +3438,43 @@ WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical selection: near-dup groups (same 32-bit SimHash) each
+    keep ONE document — the longest by word count, ties to the smallest
+    id — the 'which copy survives' decision a dedup pass actually ships.
+    Output also reports each survivor's group size.
+
+    Scale shape: one simhash pass (pure Column), then a window ranked
+    inside each simhash group — partitioned by the hash, parallel
+    across groups, never global."""
+    prep(spark)
+    from .operators.dedup import simhash32
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    sim = docs.select("doc_id", simhash32(F.col("text")).alias("simhash"),
+                      n_words.alias("n_words"))
+    w = Window.partitionBy("simhash")
+    rank_w = Window.partitionBy("simhash").orderBy(
+        F.col("n_words").desc(), F.col("doc_id"))
+    return (sim.withColumn("group_size", F.count(F.lit(1)).over(w))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "simhash", "group_size", "n_words"))
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "SELECT doc_id, simhash, group_size, n_words FROM ("
+    " SELECT s.doc_id, s.simhash,"
+    "  count(*) OVER (PARTITION BY s.simhash) AS group_size,"
+    r"  len(string_split_regex(trim(d.text), '\s+')) AS n_words,"
+    "  row_number() OVER (PARTITION BY s.simhash ORDER BY"
+    r"   len(string_split_regex(trim(d.text), '\s+')) DESC, s.doc_id) AS rn"
+    " FROM (" + SQL_DEDUP_SIMHASH + ") s JOIN documents d"
+    " ON d.doc_id = s.doc_id"
+    ") WHERE rn = 1"
+)
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Plagiarism-style candidate pairs: documents sharing >= 3 winnowing
     fingerprints.  Fingerprints present in > 10 documents are dropped
@@ -3708,4 +3745,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "class_spread": (q_class_spread, SQL_CLASS_SPREAD),
     "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
 }
