@@ -1,0 +1,43 @@
+"""Fleet-wide physical-plan audit: every bench query must be free of
+cartesian products, unexpected nested-loop joins, and Python stages
+outside the operators that semantically need them.  New queries that
+legitimately add a Python/Pandas stage or a scalar-broadcast nested loop
+must be added to the allowlists — the audit is the checklist forcing
+that conversation."""
+
+import pytest
+
+from reductstore_spark.entry_queries import BENCH_EXCLUDE, QUERIES, prep
+
+# stateful interpreter tiers, pandas-vectorized ops, store paths
+PY_OK = {
+    "each_t", "gate", "ctx_each_n", "ctx_after_each_n", "remove_count",
+    "winnow_fingerprint", "winnow_overlap", "multimodal_meta",
+    "pack_sequences", "select_labels", "ctx_padding_duration", "limit",
+    "ctx_padding", "each_n", "dedup_components", "ann_ivf",
+    "store_roundtrip", "store_remove", "update_labels",
+}
+# scalar (1-row / tiny-broadcast) cross joins
+NLJ_OK = {
+    "join_anti_inactive", "small_qty_revenue", "top_supplier",
+    "gapfill_daily", "pmi_bigrams", "ann_ivf", "decontaminate",
+    "tfidf_topk", "sim_cosine_topk", "ann_lsh", "curriculum_mix",
+    "doc_rarity", "embedding_quantize",
+}
+
+NAMES = sorted(n for n in QUERIES if n not in BENCH_EXCLUDE)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
+    prep(spark)
+    plan = QUERIES[name][0](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name}: unexpected nested-loop join"
+    if name not in PY_OK:
+        for marker in ("ArrowEvalPython", "BatchEvalPython",
+                       "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name}: unexpected {marker}"
