@@ -180,3 +180,49 @@ def test_global_storage_cap(spark, tmp_path):
     with pytest.raises(QuotaExceeded, match="storage cap"):
         store.write_with_settings(spark.createDataFrame(big, SCHEMA),
                                   max_storage_bytes=store.total_size())
+
+
+def test_records_from_table_generic_ingest(spark, sf_dir, tmp_path):
+    """The generic tabular->records mapping reproduces the hand-written
+    events adapter on the driver corpus and round-trips through a store
+    (JSON-source shape: per-row entry, timestamp col, labels, payload)."""
+    from reductstore_spark.sources.ingest import records_from_table
+    from reductstore_spark.schema import events_as_records
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    recs = records_from_table(
+        ev, entry="event_type", ts_col="ts",
+        label_cols=["user_id", "value"], payload_col="props",
+        content_type="application/json", bucket="events")
+    assert recs.columns == ["bucket", "entry", "ts", "payload",
+                            "content_type", "state", "labels",
+                            "computed_labels"]
+    got = recs.select("entry", "ts",
+                      F.element_at("labels", "user_id").alias("u")).collect()
+    ref = events_as_records(spark, sf_dir).select(
+        "entry", "ts", F.element_at("labels", "user").alias("u")).collect()
+    assert sorted((r.entry, r.ts, r.u) for r in got) \
+        == sorted((r.entry, r.ts, r.u) for r in ref)
+    # payload carries the source bytes
+    row = recs.where(F.col("payload").isNotNull()).first()
+    assert bytes(row.payload).decode("utf-8").startswith("{")
+
+    # round-trip through a store: write + resolved read preserves rows
+    store = RecordStore(spark, str(tmp_path / "ing"))
+    store.write(recs)
+    assert store.read().count() == ev.count()
+
+
+def test_records_from_table_null_labels_absent(spark):
+    """NULL source values become MISSING labels (absent-key semantics),
+    not 'None' strings."""
+    from reductstore_spark.sources.ingest import records_from_table
+
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000, "x", None), (2, 1_700_000_000_000_001, None, "y")],
+        "id long, t long, a string, b string")
+    recs = records_from_table(df, entry=F.lit("e"), ts_col="t",
+                              label_cols=["a", "b"])
+    rows = {r["ts"]: r["labels"] for r in recs.collect()}
+    assert rows[1_700_000_000_000_000] == {"a": "x"}
+    assert rows[1_700_000_000_000_001] == {"b": "y"}
