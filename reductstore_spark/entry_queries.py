@@ -3438,6 +3438,45 @@ WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
 """
 
 
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The stages composed as one pipeline — quality gate, exact dedup
+    (keep smallest id per content hash), token accounting per source —
+    the minimal end-to-end training-data prep flow, verified as a WHOLE
+    (per-stage oracles can't catch inter-stage contract breaks).
+
+    Scale shape: one filter scan, one hash-group dedup shuffle, one
+    map-side-combined aggregate."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # quality gate: 10..400 words (drops truncated and runaway docs)
+    gated = docs.where(F.size(words).between(10, 400))
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (gated.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1))
+    return (deduped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(words).cast("long")).alias("total_tokens")))
+
+
+SQL_PIPELINE_END_TO_END = r"""
+WITH gated AS (
+  SELECT doc_id, source, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 400
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+FROM deduped GROUP BY source
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical selection: near-dup groups (same 32-bit SimHash) each
     keep ONE document — the longest by word count, ties to the smallest
@@ -3746,4 +3785,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_END_TO_END),
 }
