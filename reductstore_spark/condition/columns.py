@@ -73,11 +73,14 @@ def _const_struct(value: V.Value) -> Column:
 def _parse_dynamic(raw: Column, err_when_missing: Column) -> Column:
     """String label value -> tagged struct via the bool->i64->f64->string
     try-order. ``raw`` may be null (missing label) -> error struct."""
+    from .fastcols import parse_double
+
     is_bool = raw.isin("true", "false")
     as_long = F.when(raw.rlike(_INT_RE), raw.try_cast("long"))
     is_int = as_long.isNotNull()
-    is_float_sym = F.lower(raw).isin(*_FLOAT_SPECIAL)
-    as_double = F.when(raw.rlike(_FLOAT_RE) | is_float_sym, raw.try_cast("double"))
+    # Rust-f64 semantics: specials (incl. signed NaN) map explicitly —
+    # Spark's cast rejects '+nan' and trims whitespace (fuzz-found)
+    as_double = parse_double(raw)
     is_float = as_double.isNotNull()
     return F.when(raw.isNull(), _mk(F.lit(TBOOL), e=err_when_missing)).otherwise(
         F.when(is_bool, _mk(F.lit(TBOOL), b=raw == "true"))
@@ -125,10 +128,44 @@ def _as_bool(x: Column) -> Column:
     )
 
 
+def _dur_display(us: Column) -> Column:
+    """Duration Display as a Column — exact integer replica of
+    values.fmt_duration (duration_format.rs:29-50): greatest-to-least
+    unit terms, each signed like the remainder, joined with spaces.
+
+    Because every unit size divides the previous one, each term derives
+    from abs(us) with two mods — no remainder chaining (a chained form
+    grows the tree exponentially / overruns analyzer iterations when
+    lambda-bound).  The one division goes through decimal(38,0) so it is
+    exact for the full i64 range (double drifts above 2^53)."""
+    a = F.abs(us)
+    neg = us < 0
+    pieces = []
+    prev_size = None
+    for unit, size in V._DUR_FMT_UNITS:
+        r = a if prev_size is None else F.pmod(a, F.lit(prev_size))
+        if size == 1:
+            q = r
+        else:
+            q = ((r - F.pmod(r, F.lit(size))).cast("decimal(38,0)")
+                 / F.lit(size)).cast("long")
+        signed = F.when(neg, -q).otherwise(q)
+        pieces.append(F.when(r >= F.lit(size),
+                             F.concat(signed.cast("string"), F.lit(unit))))
+        prev_size = size
+    joined = F.concat_ws(" ", *pieces)  # concat_ws skips nulls
+    out = F.when(joined == "", F.lit("0us")).otherwise(joined)
+    # i64::MIN: Spark's abs wraps to MIN itself — emit the precomputed
+    # exact rendering instead
+    return F.when(us == F.lit(-(2 ** 63)),
+                  F.lit(V.fmt_duration(-(2 ** 63)))).otherwise(out)
+
+
 def _display(x: Column) -> Column:
     """Rust Display (value.rs:131-140). Floats use trimmed formatting
-    ('1' for 1.0); Duration display approximates with µs+'us' for the
-    (rare) runtime-duration-to-string path."""
+    ('1' for 1.0); Duration renders through the exact fmt_duration
+    replica (a '3600000000us' approximation diverged under $contains —
+    fuzz-found)."""
     f = x["f"]
     int_like = (~F.isnan(f)) & (f == F.floor(f)) & (F.abs(f) < 1e16)
     return (
@@ -136,7 +173,7 @@ def _display(x: Column) -> Column:
         .when(x["t"] == TINT, x["i"].cast("string"))
         .when(x["t"] == TFLOAT,
               F.when(int_like, f.cast("long").cast("string")).otherwise(f.cast("string")))
-        .when(x["t"] == TDUR, F.concat(x["i"].cast("string"), F.lit("us")))
+        .when(x["t"] == TDUR, _dur_display(x["i"]))
         .otherwise(x["s"])
     )
 
@@ -516,14 +553,23 @@ class ColumnCompiler:
             (ops[0]["t"] == TSTR),
             F.lit("could not be parsed as integer"),
         )
-        instant = F.timestamp_micros(ts_us)
+        # date.rs:40-46 — chrono rejects timestamps outside its range
+        oob = (ts_us > F.lit(V.TS_US_MAX)) | (ts_us < F.lit(V.TS_US_MIN))
+        oob_err = F.when(
+            oob,
+            F.concat(F.lit(f"{name} requires a valid timestamp in "
+                           f"microseconds, got "), ts_us.cast("string")))
+        # clamp when out of range: from_utc_timestamp on i64::MAX throws
+        # at runtime even though the error channel masks the result
+        instant = F.timestamp_micros(
+            F.when(F.coalesce(oob, F.lit(False)), F.lit(0)).otherwise(ts_us))
         if len(ops) == 2:
             tz_e = F.when(ops[1]["t"] != TSTR, F.lit(f"{name} requires timezone to be a string"))
             local = F.from_utc_timestamp(instant, ops[1]["s"])
-            e = F.coalesce(ops[0]["e"], ops[1]["e"], ts_err, tz_e)
+            e = F.coalesce(ops[0]["e"], ops[1]["e"], ts_err, oob_err, tz_e)
         else:
             local = instant  # session timezone is pinned to UTC
-            e = F.coalesce(ops[0]["e"], ts_err)
+            e = F.coalesce(ops[0]["e"], ts_err, oob_err)
         fld = {
             "$second": F.second(local),
             "$minute": F.minute(local),
@@ -541,12 +587,15 @@ class ColumnCompiler:
             (a["t"] == TSTR) & ~a["s"].rlike(_INT_RE),
             F.concat(F.lit("Value '"), a["s"], F.lit("' could not be parsed as integer")),
         )
+        # Rust-parse semantics, not Spark cast: no whitespace trimming,
+        # signed NaN spellings accepted (fuzz-found)
+        from .fastcols import parse_double
+        str_as_f = parse_double(a["s"])
         parse_f_err = F.when(
-            (a["t"] == TSTR) & a["s"].try_cast("double").isNull(),
+            (a["t"] == TSTR) & str_as_f.isNull(),
             F.concat(F.lit("Value '"), a["s"], F.lit("' could not be parsed as float")),
         )
-        str_as_i = a["s"].try_cast("long")
-        str_as_f = a["s"].try_cast("double")
+        str_as_i = F.when(a["s"].rlike(_INT_RE), a["s"].try_cast("long"))
         to_int = F.when(a["t"] == TSTR, str_as_i).otherwise(_to_i(a))
         to_float = F.when(a["t"] == TSTR, str_as_f).otherwise(_to_f(a))
         e0 = F.coalesce(a["e"], t["e"])

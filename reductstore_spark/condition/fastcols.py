@@ -51,6 +51,22 @@ _FLOAT_SPECIAL = ["inf", "+inf", "-inf", "infinity", "+infinity", "-infinity",
 _EXACT_DOUBLE = 2 ** 53
 
 
+def parse_double(raw: Column) -> Column:
+    """Rust-f64-parse of a string Column: null unless the text matches
+    the numeric grammar or a special symbol.  Spark's own string->double
+    cast is both looser (trims whitespace) and stricter (rejects signed
+    NaN spellings like '+nan' that Rust accepts), so the specials map to
+    literals explicitly (fuzz-found)."""
+    low = F.lower(raw)
+    return (
+        F.when(raw.rlike(_NUM_RE), raw.try_cast("double"))
+        .when(low.isin("inf", "+inf", "infinity", "+infinity"),
+              F.lit(float("inf")))
+        .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
+        .when(low.isin("nan", "+nan", "-nan"), F.lit(float("nan")))
+    )
+
+
 class Unsupported(Exception):
     """AST shape outside the fast path — use the struct compiler."""
 
@@ -164,7 +180,7 @@ def label_parts(raw: Column):
     numeric = raw.rlike(_NUM_RE) | F.lower(raw).isin(*_FLOAT_SPECIAL)
     num = (
         F.when(is_bool, (raw == "true").cast("double"))
-        .when(numeric, raw.try_cast("double"))
+        .otherwise(parse_double(raw))
     )
     flt = numeric & ~is_bool & ~raw.rlike(_INT_RE)
     return num, flt
@@ -429,19 +445,26 @@ class FlatCompiler:
                     # concat outputs CAN be numeric-looking String kind
                     return F.lit(False), err
                 return F.coalesce(_is_str(b) & (b.raw == c.val), F.lit(False)), err
-            # numeric constant
+            # numeric constant (never NaN: JSON cannot express one, and
+            # string constants take the branch above)
             cval = V.as_float(c)
             if abs(cval) >= _EXACT_DOUBLE:
                 raise Unsupported("constant beyond double precision")
-            return F.coalesce(_num_or_null(b) == F.lit(cval), F.lit(False)), err
+            nb = _num_or_null(b)
+            # Spark's == treats NaN = NaN as TRUE (and a NaN label would
+            # also satisfy == via Spark NaN normalization in codegen);
+            # Rust f64 PartialEq says NaN equals nothing (fuzz-found)
+            return F.coalesce((nb == F.lit(cval)) & ~F.isnan(nb),
+                              F.lit(False)), err
         # runtime vs runtime
         na, nb = _num_or_null(a), _num_or_null(b)
+        num_eq = (na == nb) & ~F.isnan(na) & ~F.isnan(nb)
         both_num = na.isNotNull() & nb.isNotNull()
         if a.numeric_only or b.numeric_only:
-            return F.coalesce(F.when(both_num, na == nb), F.lit(False)), err
+            return F.coalesce(F.when(both_num, num_eq), F.lit(False)), err
         both_str = _is_str(a) & _is_str(b)
         val = (F.when(both_str, a.raw == b.raw)
-               .when(both_num, na == nb)
+               .when(both_num, num_eq)
                .otherwise(F.lit(False)))
         return F.coalesce(val, F.lit(False)), err
 
@@ -588,10 +611,22 @@ class FlatCompiler:
 
     def _date(self, name: str, node: Op) -> FV:
         tsv = self.compile(node.operands[0])
-        err = _arith_err(tsv)
-        emsg = self._m(tsv.emsg, self._mw(_is_str(tsv),
-                                          "could not be parsed as integer"))
-        instant = F.timestamp_micros(_trunc(_num_rt(tsv)).cast("long"))
+        ts_us = _trunc(_num_rt(tsv)).cast("long")
+        # date.rs:40-46 — chrono rejects timestamps outside its range
+        # (a float inf saturates to i64::MAX via the cast, like Rust)
+        oob = F.coalesce((ts_us > F.lit(V.TS_US_MAX))
+                         | (ts_us < F.lit(V.TS_US_MIN)), F.lit(False))
+        err = _arith_err(tsv) | oob
+        emsg = self._m(tsv.emsg,
+                       self._mw(_is_str(tsv), "could not be parsed as integer"),
+                       self._mw(oob, F.concat(
+                           F.lit(f"{name} requires a valid timestamp in "
+                                 f"microseconds, got "),
+                           ts_us.cast("string"))))
+        # clamp when out of range: from_utc_timestamp on i64::MAX throws
+        # a runtime ArithmeticException even though the error flag masks
+        # the result — feed it epoch instead
+        instant = F.timestamp_micros(F.when(oob, F.lit(0)).otherwise(ts_us))
         if len(node.operands) == 2:
             tz = node.operands[1]
             if not (isinstance(tz, Const) and tz.value.kind == V.STRING):
@@ -654,7 +689,8 @@ class FlatCompiler:
                 out = FV(num=_num_rt(a), err=_arith_err(a), numeric_only=True)
                 out.emsg = a.emsg
             else:
-                parsed = a.raw.try_cast("double")
+                # Rust f64 parse semantics (no whitespace, signed NaN ok)
+                parsed = parse_double(a.raw)
                 bad = F.coalesce(s & parsed.isNull(), F.lit(False))
                 out = FV(num=F.when(s, parsed).otherwise(_num_or_null(a)),
                          err=_err(a) | bad, numeric_only=True)

@@ -203,6 +203,10 @@ class Evaluator:
 
     def _apply_date(self, name: str, ctx: Context) -> Value:
         ts = V.as_int(self.children[0].apply(ctx))
+        if not (V.TS_US_MIN <= ts <= V.TS_US_MAX):
+            # date.rs:40-46 — from_timestamp_micros returns None
+            raise CondError(
+                f"{name} requires a valid timestamp in microseconds, got {ts}")
         if len(self.children) == 2:
             tzv = self.children[1].apply(ctx)
             if tzv.kind != V.STRING:
@@ -213,7 +217,13 @@ class Evaluator:
                 raise CondError(f"Invalid timezone: '{tzv.val}'")
         else:
             tz = timezone.utc
-        dt = _dt_from_us(ts).astimezone(tz)
+        try:
+            dt = _dt_from_us(ts).astimezone(tz)
+        except (OverflowError, OSError, ValueError):
+            # inside chrono's range but beyond Python's datetime (year
+            # 10000+): degrade to an evaluation error rather than a crash
+            raise CondError(
+                f"{name} requires a valid timestamp in microseconds, got {ts}")
         if name == "$second":
             return V.vint(dt.second)
         if name == "$minute":

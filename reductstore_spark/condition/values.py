@@ -159,6 +159,24 @@ def as_float(v: Value) -> float:
         raise CondError(f"Value '{v.val}' could not be parsed as float")
 
 
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian days since 1970-01-01 (Hinnant's algorithm) —
+    no datetime range limits, used only for the chrono-bound constants."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+# chrono DateTime::from_timestamp_micros range (NaiveDate MIN/MAX years
+# -262144 / 262143): outside it the reference's date operators error
+# ("requires a valid timestamp in microseconds", operators/date.rs:40-46)
+TS_US_MAX = (_days_from_civil(262143, 12, 31) * 86400 + 86399) * 1_000_000 + 999_999
+TS_US_MIN = _days_from_civil(-262144, 1, 1) * 86400 * 1_000_000
+
+
 def _f64_as_i64(f: float) -> int:
     """Rust ``f64 as i64``: truncate toward zero, saturate, NaN -> 0."""
     if f != f:  # NaN

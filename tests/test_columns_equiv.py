@@ -209,3 +209,54 @@ def test_strict_flat_tier_matches_struct_tier(spark):
         else:
             assert flat_err and frag in flat_err, (when, flat_err)
             assert struct_err and frag in struct_err, (when, struct_err)
+
+
+def test_hostile_value_matrix_three_tiers(spark):
+    """Deterministic regression for the fuzz-found divergences: Rust
+    parse semantics (no whitespace trim, signed NaN spellings), NaN
+    equality (equals nothing), chrono timestamp-range errors, and exact
+    duration display — all three backends must agree row-for-row."""
+    import json
+
+    from reductstore_spark.condition.columns import ColumnCompiler
+    from reductstore_spark.condition.fastcols import FlatCompiler, Unsupported
+    from reductstore_spark.condition.interpreter import Context, Evaluator
+    from reductstore_spark.condition import values as V
+    from reductstore_spark.condition.parser import parse_when
+
+    conds = [
+        {"$gte": [{"$cast": ["&v", "float"]}, 0]},
+        {"$eq": ["&v", "&w"]},
+        {"$ne": ["&v", "&w"]},
+        {"$contains": ["90m", "&v"]},
+        {"$eq": [{"$cast": ["&v", "float"]}, "&w"]},
+        {"$gte": [{"$hour": ["&v", "Europe/Berlin"]}, 0]},
+        {"$gte": [{"$hour": ["&v"]}, 0]},
+    ]
+    vals = [" 5", "5", "+nan", "nan", "-nan", "inf", " inf", "-infinity",
+            "1h", "abc", "3.5", "0"]
+    rows = [(i, {"v": a, "w": b})
+            for i, (a, b) in enumerate((a, b) for a in vals for b in vals[:4])]
+    df = spark.createDataFrame(rows, "ts long, labels map<string,string>").coalesce(1)
+
+    def interp(node, ts, labels):
+        ev = Evaluator(node)
+        try:
+            return bool(V.as_bool(ev.apply(Context(ts, labels, {}))))
+        except V.CondError:
+            return False
+
+    for c in conds:
+        node, _ = parse_when(json.loads(json.dumps(c)))
+        cols = [ColumnCompiler(F.col("ts"), F.col("labels")).predicate(node).alias("s")]
+        flat_ok = True
+        try:
+            cols.append(FlatCompiler(F.col("ts"), F.col("labels")).predicate(node).alias("f"))
+        except Unsupported:
+            flat_ok = False
+        res = df.select(*cols).collect()
+        for (ts, labels), r in zip(rows, res):
+            want = interp(node, ts, labels)
+            assert r["s"] == want, (c, labels, "struct", r["s"], want)
+            if flat_ok:
+                assert r["f"] == want, (c, labels, "flat", r["f"], want)

@@ -20,7 +20,10 @@ from reductstore_spark.condition.parser import parse_when
 
 LABELS = ["a", "b", "c", "sparse"]
 VALUES = ["1", "-7", "3.5", "0", "true", "false", "abc", "", "1e2",
-          "0.0", "-0.5", "99", "xyz", " 5", "1704067200123456", "+42"]
+          "0.0", "-0.5", "99", "xyz", " 5", "1704067200123456", "+42",
+          # Rust-parse edge spellings: whitespace (stays String), signed
+          # NaN/inf specials (parse Float; NaN equals nothing)
+          "nan", "+nan", "-nan", "inf", "-infinity", " inf"]
 
 
 def gen_rows(rng, n):
