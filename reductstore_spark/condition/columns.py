@@ -172,7 +172,10 @@ def _display(x: Column) -> Column:
         F.when(x["t"] == TBOOL, F.when(x["b"], "true").otherwise("false"))
         .when(x["t"] == TINT, x["i"].cast("string"))
         .when(x["t"] == TFLOAT,
-              F.when(int_like, f.cast("long").cast("string")).otherwise(f.cast("string")))
+              F.when(int_like, f.cast("long").cast("string"))
+              .when(f == F.lit(float("inf")), F.lit("inf"))
+              .when(f == F.lit(float("-inf")), F.lit("-inf"))
+              .otherwise(f.cast("string")))
         .when(x["t"] == TDUR, _dur_display(x["i"]))
         .otherwise(x["s"])
     )

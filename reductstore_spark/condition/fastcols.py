@@ -143,6 +143,14 @@ def _truthy(fv: FV) -> Column:
     return F.when(fv.num.isNotNull(), fv.num != 0.0).otherwise(F.length(fv.raw) != 0)
 
 
+def _float_str(num: Column) -> Column:
+    """Rust Display for the non-integer float path: Spark casts inf to
+    'Infinity'; Rust renders 'inf'/'-inf' (fuzz-found)."""
+    return (F.when(num == F.lit(float("inf")), F.lit("inf"))
+            .when(num == F.lit(float("-inf")), F.lit("-inf"))
+            .otherwise(num.cast("string")))
+
+
 def _display(fv: FV) -> Column:
     """Rust Display of the dynamically-parsed value as a flat Column."""
     if fv.const is not None:
@@ -154,7 +162,7 @@ def _display(fv: FV) -> Column:
     # float display canonicalization: "9.0" -> "9", "1e3" -> "1000"
     f_int = (~F.isnan(num)) & (num == F.floor(num)) & (F.abs(num) < 1e16)
     float_disp = F.when(f_int, num.cast("long").cast("string")).otherwise(
-        num.cast("string"))
+        _float_str(num))
     if fv.may_numeric_str:
         # $add outputs: raw is non-null iff STRING kind, displayed verbatim
         return F.coalesce(raw, float_disp)

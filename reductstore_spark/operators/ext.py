@@ -225,7 +225,7 @@ def _flat_value_display(node, labels: Column, computed: Column,
         num = fv.num
         f_int = (~F.isnan(num)) & (num == F.floor(num)) & (F.abs(num) < 1e16)
         float_disp = F.when(f_int, num.cast("long").cast("string")) \
-            .otherwise(num.cast("string"))
+            .otherwise(FC._float_str(num))
         int_disp = num.cast("long").cast("string")
         disp = F.when(FC._is_float_kind(fv), float_disp).otherwise(int_disp)
     else:

@@ -232,6 +232,9 @@ def test_hostile_value_matrix_three_tiers(spark):
         {"$eq": [{"$cast": ["&v", "float"]}, "&w"]},
         {"$gte": [{"$hour": ["&v", "Europe/Berlin"]}, 0]},
         {"$gte": [{"$hour": ["&v"]}, 0]},
+        # display of parsed inf must be Rust's 'inf', not Spark 'Infinity'
+        {"$ends_with": [" inf", "&v"]},
+        {"$contains": ["&v", "&w"]},
     ]
     vals = [" 5", "5", "+nan", "nan", "-nan", "inf", " inf", "-infinity",
             "1h", "abc", "3.5", "0"]
