@@ -166,16 +166,18 @@ def _display(x: Column) -> Column:
     ('1' for 1.0); Duration renders through the exact fmt_duration
     replica (a '3600000000us' approximation diverged under $contains —
     fuzz-found)."""
+    from .fastcols import _expand_sci_col, _neg_zero
     f = x["f"]
     int_like = (~F.isnan(f)) & (f == F.floor(f)) & (F.abs(f) < 1e16)
     return (
         F.when(x["t"] == TBOOL, F.when(x["b"], "true").otherwise("false"))
         .when(x["t"] == TINT, x["i"].cast("string"))
         .when(x["t"] == TFLOAT,
-              F.when(int_like, f.cast("long").cast("string"))
+              F.when(_neg_zero(f), F.lit("-0"))
+              .when(int_like, f.cast("long").cast("string"))
               .when(f == F.lit(float("inf")), F.lit("inf"))
               .when(f == F.lit(float("-inf")), F.lit("-inf"))
-              .otherwise(f.cast("string")))
+              .otherwise(_expand_sci_col(f)))
         .when(x["t"] == TDUR, _dur_display(x["i"]))
         .otherwise(x["s"])
     )
@@ -472,7 +474,20 @@ class ColumnCompiler:
         iop = {"$add": ia + ib, "$sub": ia - ib, "$mult": ia * ib}[name]
         verb = {"$add": "add", "$sub": "subtract", "$mult": "multiply"}[name]
         if name == "$add":
-            str_err = F.when(any_str & ~both_str, F.lit(f"Cannot {verb} string"))
+            # value.rs Add names both kinds: "Cannot add duration to
+            # string", "Cannot add string to float", ...
+            def _word(x):
+                return (F.when(x["t"] == TBOOL, F.lit("boolean"))
+                        .when(x["t"] == TINT, F.lit("integer"))
+                        .when(x["t"] == TFLOAT, F.lit("float"))
+                        .when(x["t"] == TDUR, F.lit("duration"))
+                        .otherwise(F.lit("string")))
+            str_err = F.when(
+                any_str & ~both_str,
+                F.when(a["t"] == TSTR,
+                       F.concat(F.lit("Cannot add string to "), _word(b)))
+                .otherwise(F.concat(F.lit("Cannot add "), _word(a),
+                                    F.lit(" to string"))))
             e = F.coalesce(a["e"], b["e"], str_err)
             return (
                 F.when(both_str, _mk(F.lit(TSTR), s=F.concat(a["s"], b["s"]), e=_first_err(a, b)))

@@ -84,17 +84,60 @@ class FV:
     raw: Optional[Column] = None
     num: Optional[Column] = None
     err: Optional[Column] = None
+    # exact i64 lane: non-null iff the runtime kind is Bool/Int/Duration
+    # (the kinds _numeric_pair compares as i64 and arithmetic keeps in
+    # i64). ``num`` stays the f64 view of the same value — doubles lose
+    # ULP precision above 2**53, which the reference's exact i64
+    # compare/wrapping-arithmetic semantics would expose (fuzz-found at
+    # the chrono/i64 bounds).
+    lng: Optional[Column] = None
     numeric_only: bool = False  # derived arithmetic: always numeric
     flt = None  # runtime float-kind (Column/bool); None = statically int-ish
     # a runtime STRING-kind value whose text may look numeric ($add concat
     # like "12"+"34" stays String kind, unlike label leaves where numeric
     # text always parses to Int/Float) — disables _eq's cross-kind shortcut
     may_numeric_str = False
+    # statically-known runtime kind word for strict error messages
+    # ('boolean' for comparison/logical outputs, 'integer' for $date,
+    # ...); None = derive dynamically (leaves, arithmetic)
+    skind: Optional[str] = None
     # strict mode only: nullable string Column carrying the first error
     # message in evaluation order (None when the compiler is non-strict
     # or the node can statically never error)
     emsg: Optional[Column] = None
 
+
+
+def _null_long() -> Column:
+    return F.lit(None).cast("long")
+
+
+def _lng_or_null(fv: FV) -> Column:
+    """Exact i64 view: non-null iff kind is Bool/Int/Duration."""
+    if fv.const is not None:
+        k = fv.const.kind
+        if k == V.BOOL:
+            return F.lit(1 if fv.const.val else 0).cast("long")
+        if k in (V.INT, V.DURATION):
+            return F.lit(int(fv.const.val)).cast("long")
+        return _null_long()
+    return fv.lng if fv.lng is not None else _null_long()
+
+
+_KIND_WORDS = {V.BOOL: "boolean", V.INT: "integer", V.FLOAT: "float",
+               V.DURATION: "duration", V.STRING: "string"}
+
+
+def _kind_word(fv: FV) -> Column:
+    """Kind name as used in the value.rs Add error messages."""
+    if fv.const is not None:
+        return F.lit(_KIND_WORDS[fv.const.kind])
+    if fv.skind is not None:
+        return F.lit(fv.skind)
+    base = F.when(_is_float_kind(fv), F.lit("float")).otherwise(F.lit("integer"))
+    if fv.raw is not None and not fv.numeric_only:
+        return F.when(fv.raw.isin("true", "false"), F.lit("boolean")).otherwise(base)
+    return base
 
 
 def _err(fv: FV) -> Column:
@@ -143,12 +186,50 @@ def _truthy(fv: FV) -> Column:
     return F.when(fv.num.isNotNull(), fv.num != 0.0).otherwise(F.length(fv.raw) != 0)
 
 
+_ZEROS = "0" * 340  # enough for f64's full decimal range (5e-324 .. 1.8e308)
+_SCI_RE = r"^-?([0-9]+)\.([0-9]+)E(-?[0-9]+)$"
+
+
+def _neg_zero(num: Column) -> Column:
+    """f64 negative zero (Rust Display renders it '-0', not '0')."""
+    return (num == F.lit(0.0)) & (F.lit(1.0) / num == F.lit(float("-inf")))
+
+
+def _expand_sci_col(num: Column) -> Column:
+    """Java's Double.toString emits scientific notation outside
+    [1e-3, 1e7); Rust's {} always prints plain decimal digits
+    ('0.00000015', '10000000000000000').  Expand the E-form with
+    string ops (stays codegen-friendly)."""
+    s = num.cast("string")
+    sign = F.when(num < 0, F.lit("-")).otherwise(F.lit(""))
+    ip = F.regexp_extract(s, _SCI_RE, 1)
+    fp = F.regexp_extract(s, _SCI_RE, 2)
+    ex = F.regexp_extract(s, _SCI_RE, 3).cast("int")
+    stripped = F.regexp_replace(F.concat(ip, fp), "0+$", "")
+    digits = F.when(stripped == "", F.lit("0")).otherwise(stripped)
+    nd = F.length(digits)
+    point = F.length(ip) + ex  # decimal point position within `digits`
+    zeros = F.lit(_ZEROS)
+    expanded = (
+        F.when(point <= F.lit(0),
+               F.concat(sign, F.lit("0."),
+                        F.substr(zeros, F.lit(1), -point), digits))
+        .when(point >= nd,
+              F.concat(sign, digits, F.substr(zeros, F.lit(1), point - nd)))
+        .otherwise(F.concat(sign, F.substr(digits, F.lit(1), point),
+                            F.lit("."),
+                            F.substr(digits, point + F.lit(1), F.lit(400))))
+    )
+    return F.when(s.contains("E"), expanded).otherwise(s)
+
+
 def _float_str(num: Column) -> Column:
     """Rust Display for the non-integer float path: Spark casts inf to
-    'Infinity'; Rust renders 'inf'/'-inf' (fuzz-found)."""
+    'Infinity' and uses scientific notation; Rust renders 'inf'/'-inf'
+    and plain decimal (fuzz-found)."""
     return (F.when(num == F.lit(float("inf")), F.lit("inf"))
             .when(num == F.lit(float("-inf")), F.lit("-inf"))
-            .otherwise(num.cast("string")))
+            .otherwise(_expand_sci_col(num)))
 
 
 def _display(fv: FV) -> Column:
@@ -161,8 +242,9 @@ def _display(fv: FV) -> Column:
     int_like = raw.rlike(_INT_RE)
     # float display canonicalization: "9.0" -> "9", "1e3" -> "1000"
     f_int = (~F.isnan(num)) & (num == F.floor(num)) & (F.abs(num) < 1e16)
-    float_disp = F.when(f_int, num.cast("long").cast("string")).otherwise(
-        _float_str(num))
+    float_disp = (F.when(_neg_zero(num), F.lit("-0"))
+                  .when(f_int, num.cast("long").cast("string"))
+                  .otherwise(_float_str(num)))
     if fv.may_numeric_str:
         # $add outputs: raw is non-null iff STRING kind, displayed verbatim
         return F.coalesce(raw, float_disp)
@@ -190,8 +272,13 @@ def label_parts(raw: Column):
         F.when(is_bool, (raw == "true").cast("double"))
         .otherwise(parse_double(raw))
     )
-    flt = numeric & ~is_bool & ~raw.rlike(_INT_RE)
-    return num, flt
+    # exact i64 lane: bool -> 0/1; integral text -> i64 IF it fits
+    # (try_cast nulls on overflow, so "9223372036854775808" correctly
+    # falls through to Float kind like Rust's i64-then-f64 parse order)
+    lng = (F.when(is_bool, (raw == "true").cast("long"))
+           .when(raw.rlike(_INT_RE), raw.try_cast("long")))
+    flt = numeric & ~is_bool & lng.isNull()
+    return num, flt, lng
 
 
 class FlatCompiler:
@@ -246,16 +333,16 @@ class FlatCompiler:
 
     # -- leaves ----------------------------------------------------------
     def _label(self, raw: Column, missing: Optional[Column] = None) -> FV:
-        num, flt = label_parts(raw)
-        fv = FV(raw=raw, num=num, err=raw.isNull())
+        num, flt, lng = label_parts(raw)
+        fv = FV(raw=raw, num=num, err=raw.isNull(), lng=lng)
         fv.flt = flt
         if missing is not None:
             fv.emsg = self._mw(raw.isNull(), missing)
         return fv
 
     def _bound(self, parts, missing: Optional[Column] = None) -> FV:
-        raw, num, flt = parts
-        fv = FV(raw=raw, num=num, err=raw.isNull())
+        raw, num, flt, lng = parts
+        fv = FV(raw=raw, num=num, err=raw.isNull(), lng=lng)
         fv.flt = flt
         if missing is not None:
             fv.emsg = self._mw(raw.isNull(), missing)
@@ -307,14 +394,17 @@ class FlatCompiler:
             for x in ops:
                 err = err | _err(x)
             # one_of.rs evaluates every operand — first error in order wins
-            out = FV(num=(total == 1).cast("double"), err=err, numeric_only=True)
+            out = FV(num=(total == 1).cast("double"), err=err,
+                     numeric_only=True, lng=(total == 1).cast("long"),
+                     skind="boolean")
             out.emsg = self._m(*[x.emsg for x in ops])
             return out
         if name in ("$eq", "$ne"):
             a, b = self.compile(node.operands[0]), self.compile(node.operands[1])
             eq, err = self._eq(a, b)
             val = eq if name == "$eq" else ~eq
-            out = FV(num=val.cast("double"), err=err, numeric_only=True)
+            out = FV(num=val.cast("double"), err=err, numeric_only=True,
+                     lng=val.cast("long"), skind="boolean")
             out.emsg = self._m(a.emsg, b.emsg)
             return out
         if name in ("$gt", "$gte", "$lt", "$lte"):
@@ -327,7 +417,13 @@ class FlatCompiler:
             return self._arith(name, a, b)
         if name == "$abs":
             a = self.compile(node.operands[0])
-            out = FV(num=F.abs(_num_rt(a)), err=_arith_err(a), numeric_only=True)
+            la = _lng_or_null(a)
+            # i64 lane: Spark non-ANSI abs(MIN) wraps to MIN like Rust
+            # release wrapping_abs
+            out = FV(num=F.when(la.isNotNull(), F.abs(la).cast("double"))
+                     .otherwise(F.abs(_num_rt(a))),
+                     err=_arith_err(a), numeric_only=True,
+                     lng=F.when(la.isNotNull(), F.abs(la)))
             out.flt = _is_float_kind(a)
             out.emsg = self._m(a.emsg, self._mw(
                 _is_str(a), "Cannot calculate absolute value of a string"))
@@ -339,7 +435,8 @@ class FlatCompiler:
                    "$starts_with": da.startswith(db),
                    "$ends_with": da.endswith(db)}[name]
             out = FV(num=val.cast("double"), err=_err(a) | _err(b),
-                     numeric_only=True)
+                     numeric_only=True, lng=val.cast("long"),
+                     skind="boolean")
             out.emsg = self._m(a.emsg, b.emsg)
             return out
         if name in ("$second", "$minute", "$hour", "$day", "$month", "$year",
@@ -362,7 +459,8 @@ class FlatCompiler:
                 contained = F.coalesce(
                     F.map_contains_key(self.labels, _display(fv)), F.lit(False))
                 val = F.when(active & ~e_i, val & contained).otherwise(val)
-            out = FV(num=val.cast("double"), err=err, numeric_only=True)
+            out = FV(num=val.cast("double"), err=err, numeric_only=True,
+                     lng=val.cast("long"), skind="boolean")
             out.emsg = emsg
             return out
         if name == "$cast":
@@ -393,7 +491,8 @@ class FlatCompiler:
             lbl.emsg = self._m(fv.emsg, lbl.emsg)
             return lbl
         if name == "$timestamp":
-            return FV(num=self.ts.cast("double"), err=F.lit(False), numeric_only=True)
+            return FV(num=self.ts.cast("double"), err=F.lit(False),
+                      numeric_only=True, lng=self.ts.cast("long"))
         raise Unsupported(name)
 
     def _logical(self, name: str, ops: List[FV]) -> FV:
@@ -432,7 +531,8 @@ class FlatCompiler:
         # matching the reference's frozen accumulator
         val = ~stopped if conj else stopped
         out = val if name in ("$and", "$or") else ~val
-        res = FV(num=out.cast("double"), err=err, numeric_only=True)
+        res = FV(num=out.cast("double"), err=err, numeric_only=True,
+                 lng=out.cast("long"), skind="boolean")
         res.emsg = emsg
         return res
 
@@ -454,19 +554,29 @@ class FlatCompiler:
                     return F.lit(False), err
                 return F.coalesce(_is_str(b) & (b.raw == c.val), F.lit(False)), err
             # numeric constant (never NaN: JSON cannot express one, and
-            # string constants take the branch above)
+            # string constants take the branch above).  Int-kind pairs
+            # compare exactly in i64 (_numeric_pair); a float on either
+            # side promotes to f64 (lossy for big ints — that IS the
+            # reference semantics, so the double lane is correct there).
             cval = V.as_float(c)
-            if abs(cval) >= _EXACT_DOUBLE:
-                raise Unsupported("constant beyond double precision")
             nb = _num_or_null(b)
-            # Spark's == treats NaN = NaN as TRUE (and a NaN label would
-            # also satisfy == via Spark NaN normalization in codegen);
-            # Rust f64 PartialEq says NaN equals nothing (fuzz-found)
-            return F.coalesce((nb == F.lit(cval)) & ~F.isnan(nb),
-                              F.lit(False)), err
+            lb = _lng_or_null(b)
+            if c.kind in (V.INT, V.DURATION, V.BOOL):
+                ci = int(c.val) if c.kind != V.BOOL else int(bool(c.val))
+                num_eq = F.when(lb.isNotNull(), lb == F.lit(ci)) \
+                    .otherwise((nb == F.lit(cval)) & ~F.isnan(nb))
+            else:
+                # Spark's == treats NaN = NaN as TRUE (and a NaN label
+                # would also satisfy == via Spark NaN normalization in
+                # codegen); Rust f64 PartialEq says NaN equals nothing
+                # (fuzz-found)
+                num_eq = (nb == F.lit(cval)) & ~F.isnan(nb)
+            return F.coalesce(num_eq, F.lit(False)), err
         # runtime vs runtime
         na, nb = _num_or_null(a), _num_or_null(b)
-        num_eq = (na == nb) & ~F.isnan(na) & ~F.isnan(nb)
+        la, lb = _lng_or_null(a), _lng_or_null(b)
+        num_eq = (F.when(la.isNotNull() & lb.isNotNull(), la == lb)
+                  .otherwise((na == nb) & ~F.isnan(na) & ~F.isnan(nb)))
         both_num = na.isNotNull() & nb.isNotNull()
         if a.numeric_only or b.numeric_only:
             return F.coalesce(F.when(both_num, num_eq), F.lit(False)), err
@@ -496,7 +606,11 @@ class FlatCompiler:
         mixed = sa != sb  # string vs non-string: unordered -> error
         err = base_err | F.coalesce(mixed, F.lit(False))
         na, nb = _num_or_null(a), _num_or_null(b)
-        num_cmp = op(na, nb)
+        la, lb = _lng_or_null(a), _lng_or_null(b)
+        # Int-kind pairs order exactly in i64; float on either side
+        # promotes both to f64 (_numeric_pair)
+        num_cmp = (F.when(la.isNotNull() & lb.isNotNull(), op(la, lb))
+                   .otherwise(op(na, nb)))
         cmp_msg = "Cannot compare string with non-string value"
         if (a.const is not None and a.const.kind == V.STRING) or \
            (b.const is not None and b.const.kind == V.STRING):
@@ -514,7 +628,9 @@ class FlatCompiler:
             if x.const is None:
                 nan = nan | F.coalesce(F.isnan(n), F.lit(False))
         out = FV(num=F.coalesce(val & ~nan, F.lit(False)).cast("double"),
-                 err=err | nan, numeric_only=True)
+                 err=err | nan, numeric_only=True,
+                 lng=F.coalesce(val & ~nan, F.lit(False)).cast("long"),
+                 skind="boolean")
         out.emsg = self._m(a.emsg, b.emsg,
                            self._mw(F.coalesce(mixed, F.lit(False)) | nan,
                                     cmp_msg))
@@ -570,34 +686,48 @@ class FlatCompiler:
                 out.emsg = self._m(a.emsg, b.emsg, str_emsg)
                 return out
         na, nb = _num_rt(a), _num_rt(b)
+        la, lb = _lng_or_null(a), _lng_or_null(b)
+        both_i = la.isNotNull() & lb.isNotNull()
         err = _arith_err(a) | _arith_err(b)
         zero_msg = None
         either_flt = _is_float_kind(a) | _is_float_kind(b)
         out_flt = either_flt
+        lng = None  # exact i64 result lane (int×int paths)
+        # Spark non-ANSI long arithmetic wraps like Rust release i64
+        # (`div`(MIN,-1) -> MIN, MIN % -1 -> 0, double->long saturates,
+        # NaN -> 0 — all probed), so the exact lane matches value.rs
         if name == "$sub":
-            num = na - nb
+            lng = F.when(both_i, la - lb)
+            num = F.when(both_i, lng.cast("double")).otherwise(na - nb)
         elif name == "$mult":
-            num = na * nb
+            lng = F.when(both_i, la * lb)
+            num = F.when(both_i, lng.cast("double")).otherwise(na * nb)
         elif name == "$div":
             err = err | (nb == 0.0)
             zero_msg = self._mw(nb == 0.0, "Cannot divide by zero")
-            num = na / nb
+            num = na / nb  # true division is Float always (div.rs)
             out_flt = F.lit(True)
         elif name == "$div_num":
-            # as_int truncation then i64 trunc division
-            ta, tb = _trunc(na), _trunc(nb)
-            err = err | (tb == 0.0)
-            zero_msg = self._mw(tb == 0.0, "Cannot divide by zero")
-            num = _trunc(ta / tb)
+            # as_int truncation (saturating f64 -> i64) then exact i64
+            # truncating division
+            ta = F.coalesce(la, na.cast("long"))
+            tb = F.coalesce(lb, nb.cast("long"))
+            err = err | (tb == F.lit(0))
+            zero_msg = self._mw(tb == F.lit(0), "Cannot divide by zero")
+            lng = F.call_function("div", ta, tb)
+            num = lng.cast("double")
             out_flt = F.lit(False)
         else:  # $rem — fmod keeps the dividend's sign, like Rust %
             # int % 0 is an error; float % 0.0 is NaN (IEEE / Rust)
             err = err | ((nb == 0.0) & ~either_flt)
             zero_msg = self._mw((nb == 0.0) & ~either_flt,
                                 "Cannot divide by zero")
-            num = F.when((nb == 0.0) & either_flt, F.lit(float("nan"))) \
-                .otherwise(na % nb)
-        out = FV(num=num, err=err, numeric_only=True)
+            lng = F.when(both_i & (lb != F.lit(0)), la % lb)
+            num = (F.when((nb == 0.0) & either_flt, F.lit(float("nan")))
+                   .when(both_i, lng.cast("double"))
+                   .otherwise(na % nb))
+        out = FV(num=num, err=err, numeric_only=True, lng=lng,
+                 skind={"$div": "float", "$div_num": "integer"}.get(name))
         out.flt = out_flt
         out.emsg = self._m(a.emsg, b.emsg, str_emsg, zero_msg)
         return out
@@ -609,17 +739,30 @@ class FlatCompiler:
         sa, sb = _is_str(a), _is_str(b)
         err = _err(a) | _err(b) | (sa != sb)
         na, nb = _num_or_null(a), _num_or_null(b)
+        la, lb = _lng_or_null(a), _lng_or_null(b)
+        both_i = la.isNotNull() & lb.isNotNull()
+        lng = F.when(both_i, la + lb)  # wrapping i64, exact above 2**53
         raw = F.when(sa & sb, F.concat(_str_repr(a), _str_repr(b)))
-        out = FV(raw=raw, num=na + nb, err=err)
+        out = FV(raw=raw,
+                 num=F.when(both_i, lng.cast("double")).otherwise(na + nb),
+                 err=err, lng=lng)
         out.flt = _is_float_kind(a) | _is_float_kind(b)
         out.may_numeric_str = True
-        out.emsg = self._m(a.emsg, b.emsg,
-                           self._mw(sa != sb, "Cannot add string"))
+        # mixed string+non-string: value.rs Add names both kinds
+        # ("Cannot add duration to string", "Cannot add string to float")
+        mixed_msg = (F.when(sa & ~sb, F.concat(F.lit("Cannot add string to "),
+                                               _kind_word(b)))
+                     .otherwise(F.concat(F.lit("Cannot add "), _kind_word(a),
+                                         F.lit(" to string"))))
+        out.emsg = self._m(a.emsg, b.emsg, self._mw(sa != sb, mixed_msg))
         return out
 
     def _date(self, name: str, node: Op) -> FV:
         tsv = self.compile(node.operands[0])
-        ts_us = _trunc(_num_rt(tsv)).cast("long")
+        # exact i64 when int-kind (doubles round above 2**53 — TS_US_MAX
+        # itself would falsely read out-of-range); float-kind saturates
+        # via the non-ANSI double->long cast like Rust `as i64`
+        ts_us = F.coalesce(_lng_or_null(tsv), _trunc(_num_rt(tsv)).cast("long"))
         # date.rs:40-46 — chrono rejects timestamps outside its range
         # (a float inf saturates to i64::MAX via the cast, like Rust)
         oob = F.coalesce((ts_us > F.lit(V.TS_US_MAX))
@@ -645,7 +788,8 @@ class FlatCompiler:
         fld = {"$second": F.second, "$minute": F.minute, "$hour": F.hour,
                "$day": F.dayofmonth, "$month": F.month, "$year": F.year}.get(name)
         col = fld(local) if fld else (F.dayofweek(local) + 5) % 7
-        out = FV(num=col.cast("double"), err=err, numeric_only=True)
+        out = FV(num=col.cast("double"), err=err, numeric_only=True,
+                 lng=col.cast("long"), skind="integer")
         out.emsg = emsg
         return out
 
@@ -666,7 +810,8 @@ class FlatCompiler:
                 return out
         if target == "bool":
             out = FV(num=_truthy(a).cast("double"), err=_err(a),
-                     numeric_only=True)
+                     numeric_only=True, lng=_truthy(a).cast("long"),
+                     skind="boolean")
             out.emsg = a.emsg
             return out
         if target == "string":
@@ -706,18 +851,23 @@ class FlatCompiler:
                     F.lit("Value '"), a.raw,
                     F.lit("' could not be parsed as float"))))
             out.flt = True
+            out.skind = "float"
             return out
         # int / duration: strict i64 parse for string text (INT_RE like
-        # _parse_i64), truncate-toward-zero for numeric kinds
+        # _parse_i64), truncate-toward-zero (saturating, exact-i64) for
+        # numeric kinds
+        word = "duration" if target == "duration" else "integer"
+        ex = F.coalesce(_lng_or_null(a), _num_rt(a).cast("long"))
         if s is None:
-            out = FV(num=_trunc(_num_rt(a)), err=_arith_err(a),
-                     numeric_only=True)
+            out = FV(num=ex.cast("double"), err=_arith_err(a),
+                     numeric_only=True, lng=ex, skind=word)
             out.emsg = a.emsg
             return out
-        parsed = F.when(a.raw.rlike(_INT_RE), a.raw.try_cast("long").cast("double"))
+        parsed = F.when(a.raw.rlike(_INT_RE), a.raw.try_cast("long"))
         bad = F.coalesce(s & parsed.isNull(), F.lit(False))
-        out = FV(num=F.when(s, parsed).otherwise(_trunc(_num_or_null(a))),
-                 err=_err(a) | bad, numeric_only=True)
+        lng = F.when(s, parsed).otherwise(ex)
+        out = FV(num=lng.cast("double"), err=_err(a) | bad,
+                 numeric_only=True, lng=lng, skind=word)
         out.emsg = self._m(a.emsg, self._mw(bad, F.concat(
             F.lit("Value '"), a.raw,
             F.lit("' could not be parsed as integer"))))

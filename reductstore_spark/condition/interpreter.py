@@ -40,6 +40,32 @@ def _dt_from_us(us: int) -> datetime:
     return _EPOCH + timedelta(microseconds=us)
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def _tz_offset_us(tz, ts_us: int) -> int:
+    """UTC offset (µs) of ``tz`` at the instant ``ts_us``.
+
+    Beyond Python's datetime range the instant is mapped to a proxy year
+    with the same position in the 400-year Gregorian cycle (146097 days is
+    divisible by 7, so month/day/weekday all match) — tz rules are either
+    periodic (extrapolated last rule, as chrono-tz does) or constant (LMT
+    for the far past), so the proxy offset is exact.
+    """
+    try:
+        off = _dt_from_us(ts_us).astimezone(tz).utcoffset()
+        return int(off.total_seconds() * 1_000_000)
+    except (OverflowError, OSError, ValueError):
+        days = ts_us // _US_PER_DAY
+        rem = ts_us - days * _US_PER_DAY
+        from .values import _civil_from_days, _days_from_civil
+        y, m, d = _civil_from_days(days)
+        proxy_y = 2400 + (y - 2400) % 400 if y > 9999 else 400 + y % 400
+        proxy_us = _days_from_civil(proxy_y, m, d) * _US_PER_DAY + rem
+        off = _dt_from_us(proxy_us).astimezone(tz).utcoffset()
+        return int(off.total_seconds() * 1_000_000)
+
+
 class Evaluator:
     """Stateful evaluator instance for one AST node.
 
@@ -216,27 +242,28 @@ class Evaluator:
             except Exception:
                 raise CondError(f"Invalid timezone: '{tzv.val}'")
         else:
-            tz = timezone.utc
-        try:
-            dt = _dt_from_us(ts).astimezone(tz)
-        except (OverflowError, OSError, ValueError):
-            # inside chrono's range but beyond Python's datetime (year
-            # 10000+): degrade to an evaluation error rather than a crash
-            raise CondError(
-                f"{name} requires a valid timestamp in microseconds, got {ts}")
+            tz = None  # UTC fast path, offset 0
+        # Civil fields are computed arithmetically (Hinnant) so the whole
+        # chrono range (years +/-262144) works even beyond Python's
+        # datetime limits — matching chrono and the compiled tiers.
+        local = ts if tz is None else ts + _tz_offset_us(tz, ts)
+        days = local // _US_PER_DAY
+        rem = local - days * _US_PER_DAY
         if name == "$second":
-            return V.vint(dt.second)
+            return V.vint((rem // 1_000_000) % 60)
         if name == "$minute":
-            return V.vint(dt.minute)
+            return V.vint((rem // 60_000_000) % 60)
         if name == "$hour":
-            return V.vint(dt.hour)
+            return V.vint(rem // 3_600_000_000)
+        if name == "$weekday":
+            # 1970-01-01 was Thursday; Monday == 0 (num_days_from_monday)
+            return V.vint((days + 3) % 7)
+        y, m, d = V._civil_from_days(days)
         if name == "$day":
-            return V.vint(dt.day)
+            return V.vint(d)
         if name == "$month":
-            return V.vint(dt.month)
-        if name == "$year":
-            return V.vint(dt.year)
-        return V.vint(dt.weekday())  # Monday == 0, matches chrono num_days_from_monday
+            return V.vint(m)
+        return V.vint(y)  # $year
 
     # -- stateful ops (aggregation/*.rs) ---------------------------------
     def _apply_each_n(self, ctx: Context) -> Value:

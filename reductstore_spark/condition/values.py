@@ -73,6 +73,12 @@ def _wrap_i64(v: int) -> int:
     return (v - I64_MIN) % (2**64) + I64_MIN
 
 
+def _trunc_div_i64(x: int, d: int) -> int:
+    """Rust i64 `/`: exact division truncating toward zero."""
+    q = abs(x) // abs(d)
+    return -q if (x < 0) != (d < 0) else q
+
+
 def _parse_i64(s: str) -> int:
     """Rust ``str::parse::<i64>`` equivalent: optional sign + digits only."""
     t = s
@@ -163,11 +169,30 @@ def _days_from_civil(y: int, m: int, d: int) -> int:
     """Proleptic-Gregorian days since 1970-01-01 (Hinnant's algorithm) —
     no datetime range limits, used only for the chrono-bound constants."""
     y -= m <= 2
-    era = (y if y >= 0 else y - 399) // 400
+    # Hinnant's C++ uses truncating division and compensates with (y - 399)
+    # for negative years; Python's // already floors, so the compensation
+    # must be dropped or the era is double-adjusted (off-by-one-day at the
+    # negative chrono bound).
+    era = y // 400
     yoe = y - era * 400
     doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
     doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
     return era * 146097 + doe - 719468
+
+
+def _civil_from_days(z: int) -> tuple:
+    """Inverse of _days_from_civil: (y, m, d) for days-since-epoch —
+    valid over the whole chrono range, no datetime limits."""
+    z += 719468
+    era = z // 146097  # Python // floors; no truncation compensation
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + (3 if mp < 10 else -9)
+    return y + (m <= 2), m, d
 
 
 # chrono DateTime::from_timestamp_micros range (NaiveDate MIN/MAX years
@@ -189,16 +214,41 @@ def _f64_as_i64(f: float) -> int:
 
 
 def _fmt_float(f: float) -> str:
-    """Rust ``{}`` Display for f64: 1.0 -> '1', 0.5 -> '0.5'."""
+    """Rust ``{}`` Display for f64: 1.0 -> '1', 0.5 -> '0.5'.
+
+    Rust's Display never uses scientific notation — it prints the
+    shortest-roundtrip digits expanded to plain decimal ('0.00000015',
+    '10000000000000000'), and renders negative zero as '-0'."""
     if f != f:
         return "NaN"
     if f == float("inf"):
         return "inf"
     if f == float("-inf"):
         return "-inf"
+    if f == 0.0:
+        import math
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
     if f == int(f) and abs(f) < 1e16:
         return str(int(f))
-    return repr(f)
+    return _expand_sci(repr(f))
+
+
+def _expand_sci(s: str) -> str:
+    """Expand Python's shortest-roundtrip repr to plain decimal (Rust {})."""
+    if "e" not in s and "E" not in s:
+        return s
+    m, e = s.replace("E", "e").split("e")
+    exp = int(e)
+    sign = "-" if m.startswith("-") else ""
+    m = m.lstrip("+-")
+    ip, _, fp = m.partition(".")
+    digits = (ip + fp).rstrip("0") or "0"
+    point = len(ip) + exp  # decimal point position within `digits`
+    if point <= 0:
+        return sign + "0." + "0" * (-point) + digits
+    if point >= len(digits):
+        return sign + digits + "0" * (point - len(digits))
+    return sign + digits[:point] + "." + digits[point:]
 
 
 def to_display(v: Value) -> str:
@@ -317,8 +367,7 @@ def val_div_num(a: Value, b: Value) -> Value:
     d = as_int(b)
     if d == 0:
         raise CondError("Cannot divide by zero")
-    q = as_int(a) / d
-    return vint(int(q))  # truncate toward zero (Python int() truncates)
+    return vint(_trunc_div_i64(as_int(a), d))
 
 
 def val_rem(a: Value, b: Value) -> Value:
@@ -336,7 +385,9 @@ def val_rem(a: Value, b: Value) -> Value:
     x, y = as_int(a), as_int(b)
     if y == 0:
         raise CondError("Cannot divide by zero")
-    return vint(x - int(x / y) * y)  # truncated remainder, sign of dividend
+    # truncated remainder, sign of dividend (exact integer math — going
+    # through float division loses precision above 2**53)
+    return vint(x - _trunc_div_i64(x, y) * y)
 
 
 def val_abs(v: Value) -> Value:

@@ -302,10 +302,10 @@ def _label_expr_compiled(df: DataFrame, params,
         raw = (label_columns[name]
                if label_columns and name in label_columns
                else F.element_at(F.col("labels"), F.lit(name)))
-        num, flt = label_parts(raw)
-        ra, nu, fl = f"__exr{i}", f"__exn{i}", f"__exf{i}"
-        adds.extend([(ra, raw), (nu, num), (fl, flt)])
-        label_fvs[name] = (F.col(ra), F.col(nu), F.col(fl))
+        num, flt, lng = label_parts(raw)
+        ra, nu, fl, lg = f"__exr{i}", f"__exn{i}", f"__exf{i}", f"__exl{i}"
+        adds.extend([(ra, raw), (nu, num), (fl, flt), (lg, lng)])
+        label_fvs[name] = (F.col(ra), F.col(nu), F.col(fl), F.col(lg))
     if adds:
         df = df.select("*", *[c.alias(a) for a, c in adds])
 

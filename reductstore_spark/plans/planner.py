@@ -190,10 +190,11 @@ def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None,
     computed_fvs = {}
 
     def bind(name, raw, prefix, i):
-        ra, nu, fl = f"__{prefix}r{i}", f"__{prefix}n{i}", f"__{prefix}f{i}"
-        num, flt = label_parts(raw)
-        adds.extend([(ra, raw), (nu, num), (fl, flt)])
-        return (F.col(ra), F.col(nu), F.col(fl))
+        ra, nu, fl, lg = (f"__{prefix}r{i}", f"__{prefix}n{i}",
+                          f"__{prefix}f{i}", f"__{prefix}l{i}")
+        num, flt, lng = label_parts(raw)
+        adds.extend([(ra, raw), (nu, num), (fl, flt), (lg, lng)])
+        return (F.col(ra), F.col(nu), F.col(fl), F.col(lg))
 
     for i, name in enumerate(sorted(lnames)):
         raw = (label_columns[name] if name in label_columns

@@ -32,6 +32,19 @@ from ..schema import RECORDS_SCHEMA, US_PER_DAY
 
 _PARTITIONING = ["bucket", "entry", "ts_day"]
 
+# Spark's ExternalCatalogUtils.escapePathName (Hive FileUtils) char set:
+# ASCII control chars 0x01-0x1F plus these specials; everything else —
+# including space and non-ASCII — passes through unescaped.
+_PATH_ESCAPE = {chr(c) for c in range(1, 0x20)} | set('"#%\'*/:=?\\{[]^') | {"\x7f"}
+
+
+def _escape_path_name(s: str) -> str:
+    """Exact replica of Spark's partition-dir escaping; a null/empty
+    partition value is written as Hive's default-partition sentinel."""
+    if not s:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in s)
+
 
 class QuotaExceeded(Exception):
     """HARD quota rejection (QuotaType::HARD, bucket/quotas.rs)."""
@@ -42,6 +55,20 @@ class RecordStore:
         self.spark = spark
         self.root = root
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _raw(self) -> DataFrame:
+        """The on-disk table incl. internal columns; a store whose every
+        partition was removed (or that was never written) reads as an
+        empty frame rather than UNABLE_TO_INFER_SCHEMA."""
+        try:
+            return self.spark.read.parquet(self.root)
+        except Exception:
+            from pyspark.sql.types import LongType, StructField, StructType
+            schema = StructType(
+                list(RECORDS_SCHEMA.fields)
+                + [StructField("__seq", LongType()),
+                   StructField("ts_day", LongType())])
+            return self.spark.createDataFrame([], schema)
 
     # -- write path ------------------------------------------------------
     def write(self, df: DataFrame, compression: str = None) -> None:
@@ -76,7 +103,7 @@ class RecordStore:
             cur = int(open(seq_file).read().strip())
         except (FileNotFoundError, ValueError):
             if self._exists():
-                raw = self.spark.read.parquet(self.root)
+                raw = self._raw()
                 cur = int(raw.agg(F.max("__seq")).collect()[0][0] or 0)
             else:
                 cur = 0
@@ -191,7 +218,7 @@ class RecordStore:
         (or on ingest paths that never upsert) pass
         ``assume_compacted=True`` to skip it — at scale, run compaction
         on a schedule and read the fast path."""
-        raw = self.spark.read.parquet(self.root)
+        raw = self._raw()
         if assume_compacted:
             return raw.drop("__seq", "ts_day")
         w = Window.partitionBy("bucket", "entry", "ts").orderBy(F.col("__seq").desc())
@@ -205,7 +232,7 @@ class RecordStore:
         """Distinct (bucket, entry) pairs from partition metadata — a
         metadata-only scan thanks to partition columns.  System $-entries
         are hidden unless requested (entry/system.rs)."""
-        df = self.spark.read.parquet(self.root).select("bucket", "entry").distinct()
+        df = self._raw().select("bucket", "entry").distinct()
         if bucket:
             df = df.where(F.col("bucket") == bucket)
         if not include_hidden:
@@ -221,7 +248,7 @@ class RecordStore:
         n = keys.count()
         if n == 0:
             return 0
-        raw = self.spark.read.parquet(self.root)
+        raw = self._raw()
         affected = keys.withColumn(
             "ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long")
         ).select("bucket", "entry", "ts_day").distinct()
@@ -240,19 +267,29 @@ class RecordStore:
         return n
 
     def _delete_partition_dirs(self, parts) -> None:
-        """Remove partition directories from disk (escaped and raw entry
-        spellings both tried — Spark %-escapes '/' in partition values).
-        Local-FS implementation; an object-store deployment swaps this
-        for a prefix delete."""
+        """Remove partition directories from disk, spelling the dir name
+        with an exact replica of Spark's escapePathName (Hive
+        FileUtils.escapePathName char set) — percent-quoting everything
+        (or nothing) mismatches names mixing escaped and unescaped
+        specials, leaving removed records resurrectable.  Local-FS
+        implementation; an object-store deployment swaps this for a
+        prefix delete."""
         import shutil
-        from urllib.parse import quote
 
         for bucket, entry, ts_day in parts:
-            for ent in {quote(str(entry), safe=""), str(entry)}:
-                path = os.path.join(
-                    self.root, f"bucket={bucket}", f"entry={ent}",
-                    f"ts_day={ts_day}")
-                shutil.rmtree(path, ignore_errors=True)
+            path = os.path.join(
+                self.root, f"bucket={bucket}",
+                f"entry={_escape_path_name(str(entry))}",
+                f"ts_day={ts_day}")
+            shutil.rmtree(path, ignore_errors=True)
+            # prune now-empty entry=/bucket= parents so a fully-removed
+            # entry disappears from listings too
+            for parent in (os.path.dirname(path),
+                           os.path.dirname(os.path.dirname(path))):
+                try:
+                    os.rmdir(parent)  # only succeeds when empty
+                except OSError:
+                    break
 
     def update_labels(self, updates: DataFrame) -> int:
         """Batch label upsert/remove (storage/entry/update_labels.rs:14-160).
@@ -263,7 +300,7 @@ class RecordStore:
         keys = updates.select("bucket", "entry", "ts").distinct()
         if keys.count() == 0:
             return 0
-        raw = self.spark.read.parquet(self.root)
+        raw = self._raw()
         affected = keys.withColumn(
             "ts_day", (F.col("ts") / F.lit(US_PER_DAY)).cast("long")
         ).select("bucket", "entry", "ts_day").distinct()
@@ -333,7 +370,7 @@ class RecordStore:
         """Rename a time series (storage/bucket/rename_entry.rs): rewrite
         the entry's partitions under the new name, then drop the old
         directories.  Data-proportional to ONE entry, not the store."""
-        raw = self.spark.read.parquet(self.root)
+        raw = self._raw()
         moved = (raw.where((F.col("bucket") == bucket) & (F.col("entry") == old))
                  .withColumn("entry", F.lit(new)))
         if moved.isEmpty():
@@ -451,7 +488,7 @@ class RecordStore:
     def compact(self) -> None:
         """Materialize upserts/deletes: rewrite every partition keeping
         only the newest version per (bucket, entry, ts)."""
-        raw = self.spark.read.parquet(self.root)
+        raw = self._raw()
         w = Window.partitionBy("bucket", "entry", "ts").orderBy(F.col("__seq").desc())
         deduped = (
             raw.withColumn("__rn", F.row_number().over(w))

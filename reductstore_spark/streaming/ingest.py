@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def deduped_ingest(
@@ -40,7 +41,29 @@ def deduped_ingest(
     if records.isStreaming:
         out = out.dropDuplicatesWithinWatermark(["entry", event_time_col])
     else:
-        # batch execution: watermarks are a no-op; plain dedup gives the
-        # same first-wins answer deterministically
-        out = out.dropDuplicates(["entry", event_time_col])
+        # batch execution: watermarks are a no-op.  dropDuplicates keeps
+        # an ARBITRARY row per key, so when duplicate (entry, ts) rows
+        # are not byte-identical the survivor would be nondeterministic;
+        # pick the winner explicitly instead.  ``__seq`` (the store's
+        # arrival counter) gives first-wins like the streaming path; a
+        # seq-less frame falls back to an all-column sort, which is
+        # still deterministic (identical duplicates collapse anyway).
+        if "__seq" in records.columns:
+            order = [F.col("__seq").asc()]
+        else:
+            # maps are not orderable in Spark; sort on every orderable
+            # column (duplicates differing ONLY in a map column remain
+            # ambiguous — document over pretend-determinism)
+            from pyspark.sql.types import MapType
+            order = [F.col(f.name).asc_nulls_first()
+                     for f in records.schema.fields
+                     if f.name not in ("entry", event_time_col)
+                     and not isinstance(f.dataType, MapType)]
+        if not order:
+            out = out.dropDuplicates(["entry", event_time_col])
+        else:
+            w = (F.row_number().over(
+                Window.partitionBy("entry", event_time_col).orderBy(*order)))
+            out = (out.withColumn("__rn", w)
+                   .where(F.col("__rn") == 1).drop("__rn"))
     return out.drop("__evt")

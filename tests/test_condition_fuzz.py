@@ -23,7 +23,14 @@ VALUES = ["1", "-7", "3.5", "0", "true", "false", "abc", "", "1e2",
           "0.0", "-0.5", "99", "xyz", " 5", "1704067200123456", "+42",
           # Rust-parse edge spellings: whitespace (stays String), signed
           # NaN/inf specials (parse Float; NaN equals nothing)
-          "nan", "+nan", "-nan", "inf", "-infinity", " inf"]
+          "nan", "+nan", "-nan", "inf", "-infinity", " inf",
+          # chrono from_timestamp_micros MIN/MAX boundary +/-1: the exact
+          # bounds yield date fields, one past raises (date.rs:40-46)
+          str(V.TS_US_MIN), str(V.TS_US_MIN - 1),
+          str(V.TS_US_MAX), str(V.TS_US_MAX + 1),
+          # i64 limits and one-past (one-past fails i64 parse, falls to f64)
+          "9223372036854775807", "-9223372036854775808",
+          "9223372036854775808", "-9223372036854775809"]
 
 
 def gen_rows(rng, n):

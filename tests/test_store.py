@@ -226,3 +226,42 @@ def test_records_from_table_null_labels_absent(spark):
     rows = {r["ts"]: r["labels"] for r in recs.collect()}
     assert rows[1_700_000_000_000_000] == {"a": "x"}
     assert rows[1_700_000_000_000_001] == {"b": "y"}
+
+
+def test_escape_path_name_matches_spark_exactly(spark, tmp_path):
+    """_delete_partition_dirs must spell dirs exactly like Spark's
+    escapePathName — entries mixing escaped and unescaped specials
+    ('a b/c', 'x$:y') previously matched neither all-quoted nor raw
+    spellings, so emptied partitions survived (round-3 ADVICE)."""
+    import os
+    from reductstore_spark.sources.store import _escape_path_name
+
+    hostile = ["plain", "a b/c", "x$:y", "pct%20", "q?mark", "h#ash",
+               "br[ack]ets", "back\\slash", "st*ar", 'quo"te', "un~der",
+               "eq=sign", "c^aret", "{curly}", "uni-é中"]
+    root = str(tmp_path / "esc")
+    rows = [(e, 1) for e in hostile]
+    (spark.createDataFrame(rows, "entry string, v int")
+     .write.partitionBy("entry").parquet(root))
+    on_disk = {d for d in os.listdir(root) if d.startswith("entry=")}
+    expect = {f"entry={_escape_path_name(e)}" for e in hostile}
+    assert on_disk == expect
+
+
+def test_remove_matched_deletes_emptied_hostile_partition(spark, tmp_path):
+    """A fully-matched partition whose entry name mixes escaped and
+    unescaped specials must actually disappear from disk."""
+    from reductstore_spark.sources.store import RecordStore
+
+    store = RecordStore(spark, str(tmp_path / "hs"))
+    entry = "a b/c$:x"
+    df = spark.createDataFrame(mk_rows(entry, 4), SCHEMA)
+    store.write(df)
+    assert store.read().count() == 4
+    store.remove_matched(store.read())  # match everything
+    assert store.read().count() == 0
+    # the partition dir itself is gone (no resurrect-on-append)
+    import os
+    bucket_dir = os.path.join(str(tmp_path / "hs"), "bucket=b1")
+    leftovers = [d for d in os.listdir(bucket_dir)] if os.path.isdir(bucket_dir) else []
+    assert not any(d.startswith("entry=") for d in leftovers), leftovers

@@ -189,3 +189,39 @@ def test_object_vs_array_syntax_equivalent():
     a = evaluate('{"&label": {"$gt": 5}}', labels=CTX_LABELS)
     b = evaluate('{"$gt": ["&label", 5]}', labels=CTX_LABELS)
     assert a is True and b is True
+
+
+def test_days_from_civil_hinnant_negative_years():
+    """Python // floors already; the C++ (y-399) compensation must not be
+    applied on top or the negative chrono bound is one day too low
+    (round-3 ADVICE: _days_from_civil(-262144,1,1) was -96465659)."""
+    from reductstore_spark.condition.values import _days_from_civil
+    import datetime
+    assert _days_from_civil(-262144, 1, 1) == -96465658
+    assert _days_from_civil(262143, 12, 31) == 95026601
+    # consistency with datetime across the representable range
+    for y, m, d in [(1, 1, 1), (400, 2, 29), (1970, 1, 1), (2000, 3, 1),
+                    (9999, 12, 31)]:
+        assert _days_from_civil(y, m, d) == (
+            datetime.date(y, m, d) - datetime.date(1970, 1, 1)).days
+    # era boundaries around year 0 (proleptic): adjacent days differ by 1
+    prev = None
+    for y in range(-801, -797):
+        v = _days_from_civil(y, 3, 1)
+        if prev is not None:
+            assert v - prev in (365, 366)
+        prev = v
+
+
+def test_chrono_bound_timestamps_interpreter_vs_bounds():
+    """Exactly TS_US_MIN/MAX evaluate date fields; one past raises —
+    in all three tiers (compiled tiers share the same constants)."""
+    node, _ = parse_when({"$gte": [{"$year": ["&t"]}, -999999]})
+    for ts, ok in [(V.TS_US_MIN, True), (V.TS_US_MAX, True),
+                   (V.TS_US_MIN - 1, False), (V.TS_US_MAX + 1, False)]:
+        ctx = Context(0, {"t": str(ts)})
+        if ok:
+            V.as_bool(Evaluator(node).apply(ctx))
+        else:
+            with pytest.raises(CondError):
+                Evaluator(node).apply(ctx)
