@@ -59,6 +59,27 @@ def _entry_ts(df: DataFrame) -> DataFrame:
     return df.select("entry", "ts")
 
 
+_GATE_SCRATCH: list = []
+
+
+def _gate_scratch(prefix: str) -> str:
+    """Session-scoped temp dir for gate entries that materialize a store
+    or a streaming sink: it OUTLIVES the entry call so the sink's parquet
+    can be returned as a LAZY read instead of a full-result driver
+    collect (round-2 verdict #6); everything is removed at interpreter
+    exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _GATE_SCRATCH:
+        atexit.register(lambda: [shutil.rmtree(r, ignore_errors=True)
+                                 for r in _GATE_SCRATCH])
+    _GATE_SCRATCH.append(root)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # A. reference query surface over the records model (events)
 # ---------------------------------------------------------------------------
@@ -370,6 +391,43 @@ def q_strict_mode(spark, sf_dir):
 
 
 SQL_STRICT_MODE = "SELECT event_type AS entry, epoch_us(ts) AS ts FROM events WHERE value > 150"
+
+
+def q_strict_error(spark, sf_dir):
+    """Strict mode's raise-vs-exclude boundary, pinned externally
+    (filters/when.rs:81-95): the sparse ``big`` label exists only where
+    value > 100, so non-strict silently excludes the rest while strict
+    aborts the query with the reference's missing-reference error.  The
+    result encodes both outcomes so the oracle FAILS if strict ever
+    stops raising (round-2 verdict: the old strict oracle only covered
+    the error-free path)."""
+    recs = _records(spark, sf_dir)
+    when = {"&big": {"$eq": True}}
+    n = _QE.query(recs, when=when, ordered=False,
+                  label_columns=_LC()).count()
+    raised, msg = 0, None
+    try:
+        _QE.query(recs, when=when, strict=True, ordered=False,
+                  label_columns=_LC()).count()
+    except Exception as exc:  # noqa: BLE001 — engine raises via raise_error
+        raised = 1
+        m = str(exc)
+        if "[USER_RAISED_EXCEPTION]" in m:
+            m = m.split("[USER_RAISED_EXCEPTION]")[-1]
+        msg = m.split("SQLSTATE")[0].strip()
+    return spark.createDataFrame(
+        [(n, raised, msg)],
+        "non_strict_rows long, strict_raised int, strict_msg string")
+
+
+SQL_STRICT_ERROR = """
+SELECT
+  (SELECT count(*) FROM events WHERE value > 100) AS non_strict_rows,
+  CASE WHEN EXISTS (SELECT 1 FROM events WHERE value <= 100 OR value IS NULL)
+       THEN 1 ELSE 0 END AS strict_raised,
+  CASE WHEN EXISTS (SELECT 1 FROM events WHERE value <= 100 OR value IS NULL)
+       THEN 'Reference ''&big'' not found' ELSE NULL END AS strict_msg
+"""
 
 
 def q_ext_pipeline(spark, sf_dir):
@@ -3012,33 +3070,31 @@ def q_stream_rollup(spark, sf_dir):
     dropped as late by a mid-run watermark; counts are integers, so the
     comparison is exact."""
     import shutil
-    import tempfile
 
     from .sources.store import RecordStore
     from .streaming.continuous import continuous_query
     from .streaming.rollup import windowed_rollup
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_stream_rollup_")
-    try:
-        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-        recs = _records(spark, sf_dir).select(
-            "bucket", "entry", "ts", "payload", "content_type", "state",
-            "labels", "computed_labels")
-        RecordStore(spark, store_dir).write(recs)
-        roll = windowed_rollup(
-            continuous_query(spark, store_dir, max_files_per_trigger=1_000_000),
-            window_duration="1 day", watermark_delay="1 hour")
-        q = (roll.writeStream.format("parquet").outputMode("append")
-             .option("path", out).option("checkpointLocation", cp)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        got = spark.read.parquet(out).select(
-            "entry", "win_start", "win_end", "n", "first_ts", "last_ts")
-        # materialize before the temp store is deleted
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _gate_scratch("rs_stream_rollup_")
+    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+    recs = _records(spark, sf_dir).select(
+        "bucket", "entry", "ts", "payload", "content_type", "state",
+        "labels", "computed_labels")
+    RecordStore(spark, store_dir).write(recs)
+    roll = windowed_rollup(
+        continuous_query(spark, store_dir, max_files_per_trigger=1_000_000),
+        window_duration="1 day", watermark_delay="1 hour")
+    q = (roll.writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # the sink dir outlives the call (session-scoped scratch), so
+    # the result stays a lazy read; only the intermediates go now
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    return spark.read.parquet(out).select(
+        "entry", "win_start", "win_end", "n", "first_ts", "last_ts")
 
 
 SQL_STREAM_ROLLUP = """
@@ -3063,31 +3119,29 @@ def q_stream_replication(spark, sf_dir):
     resolved read comes back for comparison — §2.C replication semantics
     (transaction_filter.rs) checked externally, not just by unit tests."""
     import shutil
-    import tempfile
 
     from .sources.store import RecordStore
     from .streaming.replication import ReplicationSettings, start_replication
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_stream_repl_")
-    try:
-        src_dir, dst_dir, cp = f"{root}/src", f"{root}/dst", f"{root}/cp"
-        recs = _records(spark, sf_dir).select(
-            "bucket", "entry", "ts", "payload", "content_type", "state",
-            "labels", "computed_labels")
-        RecordStore(spark, src_dir).write(recs)
-        settings = ReplicationSettings(
-            src_bucket="events", dst_bucket="replica",
-            entries=["c*", "purchase"], dst_prefix="mirror/",
-            when={"&value": {"$gt": 100}})
-        q = start_replication(spark, src_dir, dst_dir, settings, cp,
-                              available_now=True)
-        q.awaitTermination(300)
-        got = (RecordStore(spark, dst_dir).read()
-               .select("bucket", "entry", "ts"))
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _gate_scratch("rs_stream_repl_")
+    src_dir, dst_dir, cp = f"{root}/src", f"{root}/dst", f"{root}/cp"
+    recs = _records(spark, sf_dir).select(
+        "bucket", "entry", "ts", "payload", "content_type", "state",
+        "labels", "computed_labels")
+    RecordStore(spark, src_dir).write(recs)
+    settings = ReplicationSettings(
+        src_bucket="events", dst_bucket="replica",
+        entries=["c*", "purchase"], dst_prefix="mirror/",
+        when={"&value": {"$gt": 100}})
+    q = start_replication(spark, src_dir, dst_dir, settings, cp,
+                          available_now=True)
+    q.awaitTermination(300)
+    # destination store outlives the call; drop source + checkpoint
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    return (RecordStore(spark, dst_dir).read()
+            .select("bucket", "entry", "ts"))
 
 
 SQL_STREAM_REPLICATION = """
@@ -3107,32 +3161,29 @@ def q_stream_each_t(spark, sf_dir):
     same recursive-CTE replay as the batch each_t — the stream must
     produce exactly the batch answer."""
     import shutil
-    import tempfile
 
     from .sources.store import RecordStore
     from .streaming.continuous import continuous_query
     from .streaming.stateful import stateful_stream
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_stream_eacht_")
-    try:
-        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-        recs = _records(spark, sf_dir).select(
-            "bucket", "entry", "ts", "payload", "content_type", "state",
-            "labels", "computed_labels")
-        RecordStore(spark, store_dir).write(recs)
-        stream = stateful_stream(
-            continuous_query(spark, store_dir, max_files_per_trigger=8),
-            when={"$each_t": "30m"})
-        q = (stream.select("entry", "ts")
-             .writeStream.format("parquet")
-             .option("path", out).option("checkpointLocation", cp)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        got = spark.read.parquet(out).select("entry", "ts")
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _gate_scratch("rs_stream_eacht_")
+    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+    recs = _records(spark, sf_dir).select(
+        "bucket", "entry", "ts", "payload", "content_type", "state",
+        "labels", "computed_labels")
+    RecordStore(spark, store_dir).write(recs)
+    stream = stateful_stream(
+        continuous_query(spark, store_dir, max_files_per_trigger=8),
+        when={"$each_t": "30m"})
+    q = (stream.select("entry", "ts")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    return spark.read.parquet(out).select("entry", "ts")
 
 
 def q_stream_gate(spark, sf_dir):
@@ -3142,32 +3193,29 @@ def q_stream_gate(spark, sf_dir):
     machine exactly — checked against the same recursive-CTE oracle as
     the batch gate."""
     import shutil
-    import tempfile
 
     from .sources.store import RecordStore
     from .streaming.continuous import continuous_query
     from .streaming.stateful import stateful_stream
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_stream_gate_")
-    try:
-        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-        recs = _records(spark, sf_dir).select(
-            "bucket", "entry", "ts", "payload", "content_type", "state",
-            "labels", "computed_labels")
-        RecordStore(spark, store_dir).write(recs)
-        stream = stateful_stream(
-            continuous_query(spark, store_dir, max_files_per_trigger=8),
-            when={"$gate": ["2h", {"&value": {"$gt": 100}}]})
-        q = (stream.select("entry", "ts")
-             .writeStream.format("parquet")
-             .option("path", out).option("checkpointLocation", cp)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        got = spark.read.parquet(out).select("entry", "ts")
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _gate_scratch("rs_stream_gate_")
+    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+    recs = _records(spark, sf_dir).select(
+        "bucket", "entry", "ts", "payload", "content_type", "state",
+        "labels", "computed_labels")
+    RecordStore(spark, store_dir).write(recs)
+    stream = stateful_stream(
+        continuous_query(spark, store_dir, max_files_per_trigger=8),
+        when={"$gate": ["2h", {"&value": {"$gt": 100}}]})
+    q = (stream.select("entry", "ts")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    return spark.read.parquet(out).select("entry", "ts")
 
 
 def q_stream_restart(spark, sf_dir):
@@ -3178,34 +3226,31 @@ def q_stream_restart(spark, sf_dir):
     union must contain every record exactly once (no reprocessing, no
     gaps).  The oracle is simply the full filtered select."""
     import shutil
-    import tempfile
 
     from .sources.store import RecordStore
     from .streaming.continuous import continuous_query
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_stream_restart_")
-    try:
-        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-        recs = _records(spark, sf_dir).select(
-            "bucket", "entry", "ts", "payload", "content_type", "state",
-            "labels", "computed_labels")
-        store = RecordStore(spark, store_dir)
-        store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 0))
-        for _run in range(2):
-            q = (continuous_query(spark, store_dir,
-                                  when={"&value": {"$gt": 50}})
-                 .select("entry", "ts")
-                 .writeStream.format("parquet")
-                 .option("path", out).option("checkpointLocation", cp)
-                 .trigger(availableNow=True).start())
-            q.awaitTermination(300)
-            if _run == 0:
-                store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 1))
-        got = spark.read.parquet(out).select("entry", "ts")
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _gate_scratch("rs_stream_restart_")
+    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+    recs = _records(spark, sf_dir).select(
+        "bucket", "entry", "ts", "payload", "content_type", "state",
+        "labels", "computed_labels")
+    store = RecordStore(spark, store_dir)
+    store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 0))
+    for _run in range(2):
+        q = (continuous_query(spark, store_dir,
+                              when={"&value": {"$gt": 50}})
+             .select("entry", "ts")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if _run == 0:
+            store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 1))
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    return spark.read.parquet(out).select("entry", "ts")
 
 
 SQL_STREAM_RESTART = """
@@ -3632,32 +3677,27 @@ def q_lifecycle_delete(spark, sf_dir):
     then compacts the remaining old partitions, and the store's resolved
     read comes back — delete.rs/compress.rs semantics (anti-join
     partition rewrite + shadow-dropping compaction) checked externally."""
-    import shutil
-    import tempfile
-
     from .sources.lifecycle import (LifecyclePolicy, run_compress_action,
                                     run_delete_action)
     from .sources.store import RecordStore
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_lifecycle_")
-    try:
-        recs = _records(spark, sf_dir).select(
-            "bucket", "entry", "ts", "payload", "content_type", "state",
-            "labels", "computed_labels")
-        store = RecordStore(spark, f"{root}/store")
-        store.write(recs)
-        now_us = recs.agg(F.max("ts")).collect()[0][0]
-        policy = LifecyclePolicy(bucket="events",
-                                 older_than_us=10 * 86_400_000_000,
-                                 when={"&value": {"$gt": 100}})
-        run_delete_action(store, policy, now_us=now_us)
-        run_compress_action(store, "events",
-                            older_than_us=10 * 86_400_000_000, now_us=now_us)
-        got = store.read().select("entry", "ts")
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _gate_scratch("rs_lifecycle_")
+    recs = _records(spark, sf_dir).select(
+        "bucket", "entry", "ts", "payload", "content_type", "state",
+        "labels", "computed_labels")
+    store = RecordStore(spark, f"{root}/store")
+    store.write(recs)
+    now_us = recs.agg(F.max("ts")).collect()[0][0]
+    policy = LifecyclePolicy(bucket="events",
+                             older_than_us=10 * 86_400_000_000,
+                             when={"&value": {"$gt": 100}})
+    run_delete_action(store, policy, now_us=now_us)
+    run_compress_action(store, "events",
+                        older_than_us=10 * 86_400_000_000, now_us=now_us)
+    # the store dir outlives the call (session-scoped scratch): the
+    # resolved read stays lazy
+    return store.read().select("entry", "ts")
 
 
 SQL_LIFECYCLE_DELETE = """
@@ -3672,7 +3712,7 @@ WHERE NOT (epoch_us(ts) < now_us - 10 * 86400000000 AND value > 100)
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
                  "stream_gate", "stream_restart", "lifecycle_delete",
-                 "bucketed_join"}
+                 "bucketed_join", "strict_error"}
 
 
 # ---------------------------------------------------------------------------
@@ -3680,7 +3720,77 @@ BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
-    # A: reference surface
+    # ORDER MATTERS for the driver's CORRECTNESS artifact: it records the
+    # first 50 entries only, so the never-driver-verified operators from
+    # round 2 (everything after dedup_simhash in the old order, plus the
+    # new strict_error) come first, highest-risk first; the 50 entries
+    # already driver-verified in CORRECTNESS_r02 follow.  Rotate per
+    # round until every entry has appeared in some CORRECTNESS_r*.json.
+    # tier 1: verdict-named highest-risk, never driver-verified
+    "strict_error": (q_strict_error, SQL_STRICT_ERROR),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "asof_purchase": (q_asof_purchase, SQL_ASOF_PURCHASE),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "stream_each_t": (q_stream_each_t, SQL_EACH_T),
+    "stream_gate": (q_stream_gate, SQL_GATE),
+    "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
+    # tier 2: stream/store/dedup gate entries, never driver-verified
+    "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
+    "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
+    "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
+    "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
+    "store_remove": (q_store_remove, SQL_STORE_REMOVE),
+    "read_single": (q_read_single, SQL_READ_SINGLE),
+    "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
+    "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_END_TO_END),
+    "minhash_accuracy": (q_minhash_accuracy, SQL_MINHASH_ACCURACY),
+    # tier 3: text/ML/analytics entries, never driver-verified
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
+    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    # tier 3 spill-over (window is 50; these rotate in next round)
+    "length_hist": (q_length_hist, SQL_LENGTH_HIST),
+    "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
+    "class_spread": (q_class_spread, SQL_CLASS_SPREAD),
+    "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "curriculum_mix": (q_curriculum_mix, SQL_CURRICULUM_MIX),
+    "sql_surface": (q_sql_surface, SQL_SQL_SURFACE),
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    # driver-verified green in CORRECTNESS_r02
     "scan_time_range": (q_scan_time_range, SQL_SCAN_TIME_RANGE),
     "when_cmp": (q_when_cmp, SQL_WHEN_CMP),
     "when_logic": (q_when_logic, SQL_WHEN_LOGIC),
@@ -3711,7 +3821,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "count": (q_count, SQL_COUNT),
     "remove_count": (q_remove_count, SQL_REMOVE_COUNT),
     "update_labels": (q_update_labels, SQL_UPDATE_LABELS),
-    # B: analytics
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "join_topn": (q_join_topn, SQL_JOIN_TOPN),
     "join_region": (q_join_region, SQL_JOIN_REGION),
@@ -3729,67 +3838,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "disjunctive_filter": (q_disjunctive_filter, SQL_DISJUNCTIVE_FILTER),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
     "user_set_ops": (q_user_set_ops, SQL_USER_SET_OPS),
-    # C: LLM pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
-    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
-    "asof_purchase": (q_asof_purchase, SQL_ASOF_PURCHASE),
-    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
-    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
-    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
-    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
-    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
-    "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
-    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "repetition": (q_repetition, SQL_REPETITION),
-    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "curriculum_mix": (q_curriculum_mix, SQL_CURRICULUM_MIX),
-    "length_hist": (q_length_hist, SQL_LENGTH_HIST),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "gapfill_daily": (q_gapfill_daily, SQL_GAPFILL_DAILY),
-    "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
-    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-    "sql_surface": (q_sql_surface, SQL_SQL_SURFACE),
-    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
-    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
-    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
-    "minhash_accuracy": (q_minhash_accuracy, SQL_MINHASH_ACCURACY),
-    "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
-    "store_remove": (q_store_remove, SQL_STORE_REMOVE),
-    "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
-    "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
-    "stream_each_t": (q_stream_each_t, SQL_EACH_T),
-    "stream_gate": (q_stream_gate, SQL_GATE),
-    "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
-    "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
-    "read_single": (q_read_single, SQL_READ_SINGLE),
-    "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
-    "class_spread": (q_class_spread, SQL_CLASS_SPREAD),
-    "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
-    "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
-    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
-    "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_END_TO_END),
 }

@@ -40,6 +40,15 @@ def asof_join(
     Left rows with no match keep nulls (left-join semantics).
     """
     by = list(by or [])
+    if not by:
+        # Window.partitionBy() with no keys funnels the whole union
+        # through ONE task — a silent scale-killer.  A global as-of join
+        # needs an explicit opt-in via a constant key.
+        raise ValueError(
+            "asof_join requires at least one `by` key: an un-keyed as-of "
+            "join puts the entire dataset through a single partition. "
+            "For a genuinely global join, add a constant key column "
+            "(lit(1)) explicitly — and expect it not to scale.")
     rcols = [c for c in right.columns if c not in by and c != on]
 
     # tagged union: side 0 sorts before side 1 at equal ts, so a right

@@ -412,22 +412,24 @@ class RecordStore:
         name / size / record_count / block_count / oldest_record /
         latest_record.
 
-        record_count and the ts extremes come from ONE aggregate over the
-        entry's partitions — with parquet aggregate pushdown the min/max
-        read footer statistics, not data (the analogue of the reference
-        answering from its BlockIndex).  size/block_count come from the
+        The aggregate runs on the RAW table — no shadow-dedup window in
+        the plan.  That is exact because a shadowed version shares its
+        (bucket, entry, ts) key with its shadower: min/max(ts) are
+        shadow-invariant, and the live record count is count(DISTINCT ts)
+        within the entry.  min/max stay eligible for parquet
+        aggregate/footer-statistics answering (the analogue of the
+        reference answering from its BlockIndex); the distinct count
+        reads only the ts column.  size/block_count come from the
         filesystem listing; a parquet file is the closest analogue of a
         block."""
-        from urllib.parse import quote
-
-        cur = (self.read()
+        cur = (self._raw()
                .where((F.col("bucket") == bucket) & (F.col("entry") == entry)))
-        row = cur.agg(F.count(F.lit(1)).alias("n"),
+        row = cur.agg(F.count_distinct("ts").alias("n"),
                       F.min("ts").alias("lo"),
                       F.max("ts").alias("hi")).collect()[0]
         size = files = 0
         broot = os.path.join(self.root, f"bucket={bucket}")
-        candidates = {f"entry={quote(entry, safe='')}", f"entry={entry}"}
+        candidates = {f"entry={_escape_path_name(entry)}"}
         for dirpath, _dirnames, filenames in os.walk(broot):
             parts = dirpath[len(broot):].split(os.sep)
             if any(p in candidates for p in parts):
@@ -441,11 +443,13 @@ class RecordStore:
 
     def bucket_info(self, bucket: str) -> dict:
         """BucketInfo parity (bucket_api.rs BucketInfo): size / entry_count
-        / record-time extremes across the bucket's visible entries."""
+        / record-time extremes across the bucket's visible entries.
+        Shadow-exact without the dedup window (see entry_info): live
+        records are distinct (entry, ts) pairs."""
         names = [e for b, e in self.entries(bucket)]
-        cur = self.read().where(
+        cur = self._raw().where(
             (F.col("bucket") == bucket) & F.col("entry").isin(names))
-        row = cur.agg(F.count(F.lit(1)).alias("n"),
+        row = cur.agg(F.count_distinct("entry", "ts").alias("n"),
                       F.min("ts").alias("lo"),
                       F.max("ts").alias("hi")).collect()[0]
         return {"name": bucket, "size": self.bucket_size(bucket),

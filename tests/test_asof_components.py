@@ -75,3 +75,16 @@ def test_components_long_path_converges(spark):
 def test_components_min_id_not_first_seen(spark):
     got = _components(spark, [(10, 20), (20, 5), (30, 10)])
     assert got == {5: 5, 10: 5, 20: 5, 30: 5}
+
+
+def test_asof_join_empty_by_raises():
+    """Un-keyed as-of joins single-partition the whole union — refuse
+    (round-2 verdict #4)."""
+    import pytest as _pytest
+    from reductstore_spark.operators.asof import asof_join
+
+    class _Fake:  # never reaches Spark: the guard fires first
+        columns = ["ts", "v"]
+
+    with _pytest.raises(ValueError, match="at least one `by` key"):
+        asof_join(_Fake(), _Fake(), on="ts", by=[])

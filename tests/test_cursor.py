@@ -198,3 +198,62 @@ def test_io_settings_invalid_values():
     _, dirs = parse_when({"#batch_timeout": "soon"})
     with pytest.raises(UnprocessableEntity):
         io_settings_from_directives(dirs)
+
+
+def _multi_part_records(spark, n=40, parts=8):
+    rows = [
+        ("b", "entry", 1000 + 100 * i, bytearray(b"p%d" % i), "text/plain",
+         STATE_FINISHED, {"k": f"v{i}"}, {})
+        for i in range(n)
+    ]
+    return (spark.createDataFrame(rows, RECORDS_SCHEMA)
+            .repartition(parts).sortWithinPartitions("ts"))
+
+
+def test_two_cursors_interleaved_over_multipartition_result(spark):
+    """toLocalIterator holds one partition at a time; two concurrently
+    registered cursors over multi-partition results must drain fully and
+    independently under interleaved fetches (round-2 verdict #7, mirrors
+    query_test.py cursor cases)."""
+    clock = Clock()
+    reg = QueryRegistry(clock=clock)
+    df = _multi_part_records(spark, n=40, parts=8).orderBy("ts")
+    qa = reg.register(df, ttl=600)
+    qb = reg.register(df, ttl=600)
+    got_a, got_b = [], []
+    for i in range(40):
+        rec_a, _ = reg.fetch_record(qa)
+        got_a.append(rec_a.timestamp)
+        rec_b, _ = reg.fetch_record(qb)
+        got_b.append(rec_b.timestamp)
+    want = [1000 + 100 * i for i in range(40)]
+    assert got_a == want and got_b == want
+    with pytest.raises(NoContent):
+        reg.fetch_record(qa)
+    with pytest.raises(NoContent):
+        reg.fetch_record(qb)
+
+
+def test_ttl_expiry_mid_drain_other_cursor_survives(spark):
+    """A cursor expiring mid-drain 404s on next touch; a fresher cursor
+    over the same result keeps draining from its own position."""
+    clock = Clock()
+    reg = QueryRegistry(clock=clock)
+    df = _multi_part_records(spark, n=12, parts=4).orderBy("ts")
+    old = reg.register(df, ttl=10)
+    clock.now = 5.0
+    fresh = reg.register(df, ttl=100)
+    for _ in range(3):
+        reg.fetch_record(old)
+        reg.fetch_record(fresh)
+    clock.now = 16.0  # old's ttl lapsed (fetches refresh from their time)
+    with pytest.raises(QueryNotFound):
+        reg.fetch_record(old)
+    remaining = []
+    while True:
+        try:
+            rec, _ = reg.fetch_record(fresh)
+        except NoContent:
+            break
+        remaining.append(rec.timestamp)
+    assert remaining == [1000 + 100 * i for i in range(3, 12)]

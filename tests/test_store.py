@@ -265,3 +265,50 @@ def test_remove_matched_deletes_emptied_hostile_partition(spark, tmp_path):
     bucket_dir = os.path.join(str(tmp_path / "hs"), "bucket=b1")
     leftovers = [d for d in os.listdir(bucket_dir)] if os.path.isdir(bucket_dir) else []
     assert not any(d.startswith("entry=") for d in leftovers), leftovers
+
+
+def test_info_plan_has_no_shadow_window(spark, store):
+    """entry_info/bucket_info answer from a windowless aggregate over the
+    raw table (min/max stay footer-answerable, count via distinct ts) —
+    the shadow-dedup row_number window must not appear (round-2 verdict
+    #5)."""
+    store.write(spark.createDataFrame(mk_rows("e1", 3), SCHEMA))
+    raw = store._raw().where(
+        (F.col("bucket") == "b1") & (F.col("entry") == "e1"))
+    agg = raw.agg(F.count_distinct("ts"), F.min("ts"), F.max("ts"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_write_compression_codec_lands_in_footers(spark, store):
+    """Replication transfer-compression parity (reference Issue-1348):
+    write(compression=) must actually apply the codec per batch —
+    verified from the parquet footers, not the API surface."""
+    import os
+    import pyarrow.parquet as pq
+
+    store.write(spark.createDataFrame(mk_rows("gz", 3), SCHEMA),
+                compression="gzip")
+    store.write(spark.createDataFrame(mk_rows("raw", 3), SCHEMA),
+                compression="none")
+    store.write(spark.createDataFrame(mk_rows("dflt", 3), SCHEMA))
+
+    def codecs(entry):
+        found = set()
+        root = store.root
+        for dirpath, _d, files in os.walk(root):
+            if f"entry={entry}" not in dirpath:
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                for rg in range(md.num_row_groups):
+                    for c in range(md.num_columns):
+                        found.add(md.row_group(rg).column(c).compression)
+        return found
+
+    assert codecs("gz") == {"GZIP"}
+    assert codecs("raw") == {"UNCOMPRESSED"}
+    default = codecs("dflt")
+    assert default and "GZIP" not in default  # session default (zstd/snappy)

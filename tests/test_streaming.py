@@ -285,3 +285,25 @@ def test_system_source_replication_excludes_own_diagnostics(spark, tmp_path):
     # the diagnostics DID land in the source $system bucket
     src_entries = {r["entry"] for r in src.read().select("entry").collect()}
     assert "replications/i1/r1" in src_entries
+
+
+def test_stateful_stream_limit_stays_interrupted_after_restart(spark, tmp_path):
+    """$limit's Interrupt latch must survive checkpoint recovery: once a
+    stream hit its limit, a restarted run over the same checkpoint emits
+    NOTHING for later records (round-2 verdict #9 — the interrupted flag
+    is persisted but recovery was never exercised)."""
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, root)
+    when = {"$and": [{"$limit": 3}]}
+
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    got1 = sorted(drain(spark, stateful_stream(continuous_query(spark, root), when), out, cp))
+    assert got1 == [0, 1_000_000, 2_000_000]  # limit hit inside run 1
+
+    # restart over the SAME checkpoint with fresh later records: the
+    # recovered state must stay interrupted
+    store.write(spark.createDataFrame(mk_rows("e1", 5, base=10_000_000), SCHEMA))
+    got2 = sorted(drain(spark, stateful_stream(continuous_query(spark, root), when), out, cp))
+    assert got2 == [], got2
