@@ -91,6 +91,14 @@ class FV:
     # compare/wrapping-arithmetic semantics would expose (fuzz-found at
     # the chrono/i64 bounds).
     lng: Optional[Column] = None
+    # static bound on |value| for int-kind results (None = unbounded):
+    # bool/comparison outputs are <= 1, date fields <= ~1e6, small-const
+    # arithmetic composes bounds.  A bounded int below 2**52 is EXACT in
+    # the double lane already, so no ``lng`` Column is materialized for
+    # it — eagerly duplicating the value tree into a second lane at
+    # every boolean/date node is what pushed when_date2's generated
+    # method past Janino's 64 KB limit (sf1 soak finding).
+    bound: Optional[int] = None
     numeric_only: bool = False  # derived arithmetic: always numeric
     flt = None  # runtime float-kind (Column/bool); None = statically int-ish
     # a runtime STRING-kind value whose text may look numeric ($add concat
@@ -112,6 +120,9 @@ def _null_long() -> Column:
     return F.lit(None).cast("long")
 
 
+_EXACT_I64_IN_DOUBLE = 2 ** 52
+
+
 def _lng_or_null(fv: FV) -> Column:
     """Exact i64 view: non-null iff kind is Bool/Int/Duration."""
     if fv.const is not None:
@@ -121,7 +132,33 @@ def _lng_or_null(fv: FV) -> Column:
         if k in (V.INT, V.DURATION):
             return F.lit(int(fv.const.val)).cast("long")
         return _null_long()
-    return fv.lng if fv.lng is not None else _null_long()
+    if fv.lng is not None:
+        return fv.lng
+    if fv.bound is not None and fv.bound <= 2 ** 53 and fv.num is not None:
+        # bounded int-kind: the double lane is exact — derive on demand
+        return fv.num.cast("long")
+    return _null_long()
+
+
+def _static_bound(fv: FV):
+    """|value| bound when the value is statically int-kind and bounded
+    (None otherwise).  Used to skip the exact-lane machinery: two
+    operands bounded below 2**52 compare and combine exactly in
+    double."""
+    if fv.const is not None:
+        k = fv.const.kind
+        if k == V.BOOL:
+            return 1
+        if k in (V.INT, V.DURATION):
+            return abs(int(fv.const.val))
+        return None
+    return fv.bound
+
+
+def _both_small(a: FV, b: FV) -> bool:
+    ba, bb = _static_bound(a), _static_bound(b)
+    return (ba is not None and bb is not None
+            and ba < _EXACT_I64_IN_DOUBLE and bb < _EXACT_I64_IN_DOUBLE)
 
 
 _KIND_WORDS = {V.BOOL: "boolean", V.INT: "integer", V.FLOAT: "float",
@@ -199,7 +236,13 @@ def _expand_sci_col(num: Column) -> Column:
     """Java's Double.toString emits scientific notation outside
     [1e-3, 1e7); Rust's {} always prints plain decimal digits
     ('0.00000015', '10000000000000000').  Expand the E-form with
-    string ops (stays codegen-friendly)."""
+    string ops (stays codegen-friendly).
+
+    Known residual divergence: JDK < 19's Double.toString is not always
+    shortest-roundtrip (e.g. subnormals: 5e-324 prints digits '49' where
+    Ryu/Rust print '5'), so the expanded digits can differ from Rust's
+    in that band.  Affects display only, on values below ~2.3e-308 or
+    rare mantissas; the fuzz matrix excludes the band."""
     s = num.cast("string")
     sign = F.when(num < 0, F.lit("-")).otherwise(F.lit(""))
     ip = F.regexp_extract(s, _SCI_RE, 1)
@@ -395,8 +438,7 @@ class FlatCompiler:
                 err = err | _err(x)
             # one_of.rs evaluates every operand — first error in order wins
             out = FV(num=(total == 1).cast("double"), err=err,
-                     numeric_only=True, lng=(total == 1).cast("long"),
-                     skind="boolean")
+                     numeric_only=True, bound=1, skind="boolean")
             out.emsg = self._m(*[x.emsg for x in ops])
             return out
         if name in ("$eq", "$ne"):
@@ -404,7 +446,7 @@ class FlatCompiler:
             eq, err = self._eq(a, b)
             val = eq if name == "$eq" else ~eq
             out = FV(num=val.cast("double"), err=err, numeric_only=True,
-                     lng=val.cast("long"), skind="boolean")
+                     bound=1, skind="boolean")
             out.emsg = self._m(a.emsg, b.emsg)
             return out
         if name in ("$gt", "$gte", "$lt", "$lte"):
@@ -417,13 +459,18 @@ class FlatCompiler:
             return self._arith(name, a, b)
         if name == "$abs":
             a = self.compile(node.operands[0])
-            la = _lng_or_null(a)
-            # i64 lane: Spark non-ANSI abs(MIN) wraps to MIN like Rust
-            # release wrapping_abs
-            out = FV(num=F.when(la.isNotNull(), F.abs(la).cast("double"))
-                     .otherwise(F.abs(_num_rt(a))),
-                     err=_arith_err(a), numeric_only=True,
-                     lng=F.when(la.isNotNull(), F.abs(la)))
+            ab = _static_bound(a)
+            if ab is not None and ab < _EXACT_I64_IN_DOUBLE:
+                out = FV(num=F.abs(_num_rt(a)), err=_arith_err(a),
+                         numeric_only=True, bound=ab)
+            else:
+                la = _lng_or_null(a)
+                # i64 lane: Spark non-ANSI abs(MIN) wraps to MIN like
+                # Rust release wrapping_abs
+                out = FV(num=F.when(la.isNotNull(), F.abs(la).cast("double"))
+                         .otherwise(F.abs(_num_rt(a))),
+                         err=_arith_err(a), numeric_only=True,
+                         lng=F.when(la.isNotNull(), F.abs(la)))
             out.flt = _is_float_kind(a)
             out.emsg = self._m(a.emsg, self._mw(
                 _is_str(a), "Cannot calculate absolute value of a string"))
@@ -435,8 +482,7 @@ class FlatCompiler:
                    "$starts_with": da.startswith(db),
                    "$ends_with": da.endswith(db)}[name]
             out = FV(num=val.cast("double"), err=_err(a) | _err(b),
-                     numeric_only=True, lng=val.cast("long"),
-                     skind="boolean")
+                     numeric_only=True, bound=1, skind="boolean")
             out.emsg = self._m(a.emsg, b.emsg)
             return out
         if name in ("$second", "$minute", "$hour", "$day", "$month", "$year",
@@ -460,7 +506,7 @@ class FlatCompiler:
                     F.map_contains_key(self.labels, _display(fv)), F.lit(False))
                 val = F.when(active & ~e_i, val & contained).otherwise(val)
             out = FV(num=val.cast("double"), err=err, numeric_only=True,
-                     lng=val.cast("long"), skind="boolean")
+                     bound=1, skind="boolean")
             out.emsg = emsg
             return out
         if name == "$cast":
@@ -532,7 +578,7 @@ class FlatCompiler:
         val = ~stopped if conj else stopped
         out = val if name in ("$and", "$or") else ~val
         res = FV(num=out.cast("double"), err=err, numeric_only=True,
-                 lng=out.cast("long"), skind="boolean")
+                 bound=1, skind="boolean")
         res.emsg = emsg
         return res
 
@@ -560,9 +606,9 @@ class FlatCompiler:
             # reference semantics, so the double lane is correct there).
             cval = V.as_float(c)
             nb = _num_or_null(b)
-            lb = _lng_or_null(b)
-            if c.kind in (V.INT, V.DURATION, V.BOOL):
+            if c.kind in (V.INT, V.DURATION, V.BOOL) and not _both_small(a, b):
                 ci = int(c.val) if c.kind != V.BOOL else int(bool(c.val))
+                lb = _lng_or_null(b)
                 num_eq = F.when(lb.isNotNull(), lb == F.lit(ci)) \
                     .otherwise((nb == F.lit(cval)) & ~F.isnan(nb))
             else:
@@ -574,9 +620,12 @@ class FlatCompiler:
             return F.coalesce(num_eq, F.lit(False)), err
         # runtime vs runtime
         na, nb = _num_or_null(a), _num_or_null(b)
-        la, lb = _lng_or_null(a), _lng_or_null(b)
-        num_eq = (F.when(la.isNotNull() & lb.isNotNull(), la == lb)
-                  .otherwise((na == nb) & ~F.isnan(na) & ~F.isnan(nb)))
+        if _both_small(a, b):
+            num_eq = (na == nb) & ~F.isnan(na) & ~F.isnan(nb)
+        else:
+            la, lb = _lng_or_null(a), _lng_or_null(b)
+            num_eq = (F.when(la.isNotNull() & lb.isNotNull(), la == lb)
+                      .otherwise((na == nb) & ~F.isnan(na) & ~F.isnan(nb)))
         both_num = na.isNotNull() & nb.isNotNull()
         if a.numeric_only or b.numeric_only:
             return F.coalesce(F.when(both_num, num_eq), F.lit(False)), err
@@ -606,11 +655,14 @@ class FlatCompiler:
         mixed = sa != sb  # string vs non-string: unordered -> error
         err = base_err | F.coalesce(mixed, F.lit(False))
         na, nb = _num_or_null(a), _num_or_null(b)
-        la, lb = _lng_or_null(a), _lng_or_null(b)
-        # Int-kind pairs order exactly in i64; float on either side
-        # promotes both to f64 (_numeric_pair)
-        num_cmp = (F.when(la.isNotNull() & lb.isNotNull(), op(la, lb))
-                   .otherwise(op(na, nb)))
+        if _both_small(a, b):
+            num_cmp = op(na, nb)
+        else:
+            la, lb = _lng_or_null(a), _lng_or_null(b)
+            # Int-kind pairs order exactly in i64; float on either side
+            # promotes both to f64 (_numeric_pair)
+            num_cmp = (F.when(la.isNotNull() & lb.isNotNull(), op(la, lb))
+                       .otherwise(op(na, nb)))
         cmp_msg = "Cannot compare string with non-string value"
         if (a.const is not None and a.const.kind == V.STRING) or \
            (b.const is not None and b.const.kind == V.STRING):
@@ -628,8 +680,7 @@ class FlatCompiler:
             if x.const is None:
                 nan = nan | F.coalesce(F.isnan(n), F.lit(False))
         out = FV(num=F.coalesce(val & ~nan, F.lit(False)).cast("double"),
-                 err=err | nan, numeric_only=True,
-                 lng=F.coalesce(val & ~nan, F.lit(False)).cast("long"),
+                 err=err | nan, numeric_only=True, bound=1,
                  skind="boolean")
         out.emsg = self._m(a.emsg, b.emsg,
                            self._mw(F.coalesce(mixed, F.lit(False)) | nan,
@@ -686,47 +737,81 @@ class FlatCompiler:
                 out.emsg = self._m(a.emsg, b.emsg, str_emsg)
                 return out
         na, nb = _num_rt(a), _num_rt(b)
-        la, lb = _lng_or_null(a), _lng_or_null(b)
-        both_i = la.isNotNull() & lb.isNotNull()
         err = _arith_err(a) | _arith_err(b)
         zero_msg = None
         either_flt = _is_float_kind(a) | _is_float_kind(b)
         out_flt = either_flt
         lng = None  # exact i64 result lane (int×int paths)
-        # Spark non-ANSI long arithmetic wraps like Rust release i64
-        # (`div`(MIN,-1) -> MIN, MIN % -1 -> 0, double->long saturates,
-        # NaN -> 0 — all probed), so the exact lane matches value.rs
+        out_bound = None
+        ba, bb = _static_bound(a), _static_bound(b)
+        # bounded-small operands: double arithmetic is exact and cannot
+        # wrap — skip the lane (avoids duplicating the operand trees)
+        small = _both_small(a, b) and name in ("$sub", "$mult", "$rem",
+                                               "$div_num", "$add_num")
+        if small and name == "$mult" and ba * bb >= _EXACT_I64_IN_DOUBLE:
+            small = False
         if name == "$sub":
-            lng = F.when(both_i, la - lb)
-            num = F.when(both_i, lng.cast("double")).otherwise(na - nb)
+            if small:
+                num = na - nb
+                out_bound = ba + bb
+            else:
+                la, lb = _lng_or_null(a), _lng_or_null(b)
+                both_i = la.isNotNull() & lb.isNotNull()
+                # Spark non-ANSI long arithmetic wraps like Rust release
+                # i64 (`div`(MIN,-1) -> MIN, MIN % -1 -> 0, double->long
+                # saturates, NaN -> 0 — all probed): exact value.rs match
+                lng = F.when(both_i, la - lb)
+                num = F.when(both_i, lng.cast("double")).otherwise(na - nb)
         elif name == "$mult":
-            lng = F.when(both_i, la * lb)
-            num = F.when(both_i, lng.cast("double")).otherwise(na * nb)
+            if small:
+                num = na * nb
+                out_bound = ba * bb
+            else:
+                la, lb = _lng_or_null(a), _lng_or_null(b)
+                both_i = la.isNotNull() & lb.isNotNull()
+                lng = F.when(both_i, la * lb)
+                num = F.when(both_i, lng.cast("double")).otherwise(na * nb)
         elif name == "$div":
             err = err | (nb == 0.0)
             zero_msg = self._mw(nb == 0.0, "Cannot divide by zero")
             num = na / nb  # true division is Float always (div.rs)
             out_flt = F.lit(True)
         elif name == "$div_num":
-            # as_int truncation (saturating f64 -> i64) then exact i64
-            # truncating division
-            ta = F.coalesce(la, na.cast("long"))
-            tb = F.coalesce(lb, nb.cast("long"))
-            err = err | (tb == F.lit(0))
-            zero_msg = self._mw(tb == F.lit(0), "Cannot divide by zero")
-            lng = F.call_function("div", ta, tb)
-            num = lng.cast("double")
+            err_zero = _trunc(nb) == 0.0 if small else None
+            if small:
+                err = err | err_zero
+                zero_msg = self._mw(err_zero, "Cannot divide by zero")
+                num = _trunc(_trunc(na) / _trunc(nb))
+                out_bound = ba
+            else:
+                la, lb = _lng_or_null(a), _lng_or_null(b)
+                # as_int truncation (saturating f64 -> i64) then exact
+                # i64 truncating division
+                ta = F.coalesce(la, na.cast("long"))
+                tb = F.coalesce(lb, nb.cast("long"))
+                err = err | (tb == F.lit(0))
+                zero_msg = self._mw(tb == F.lit(0), "Cannot divide by zero")
+                lng = F.call_function("div", ta, tb)
+                num = lng.cast("double")
             out_flt = F.lit(False)
         else:  # $rem — fmod keeps the dividend's sign, like Rust %
             # int % 0 is an error; float % 0.0 is NaN (IEEE / Rust)
             err = err | ((nb == 0.0) & ~either_flt)
             zero_msg = self._mw((nb == 0.0) & ~either_flt,
                                 "Cannot divide by zero")
-            lng = F.when(both_i & (lb != F.lit(0)), la % lb)
-            num = (F.when((nb == 0.0) & either_flt, F.lit(float("nan")))
-                   .when(both_i, lng.cast("double"))
-                   .otherwise(na % nb))
+            if small:
+                num = F.when((nb == 0.0) & either_flt, F.lit(float("nan"))) \
+                    .otherwise(na % nb)
+                out_bound = bb
+            else:
+                la, lb = _lng_or_null(a), _lng_or_null(b)
+                both_i = la.isNotNull() & lb.isNotNull()
+                lng = F.when(both_i & (lb != F.lit(0)), la % lb)
+                num = (F.when((nb == 0.0) & either_flt, F.lit(float("nan")))
+                       .when(both_i, lng.cast("double"))
+                       .otherwise(na % nb))
         out = FV(num=num, err=err, numeric_only=True, lng=lng,
+                 bound=out_bound,
                  skind={"$div": "float", "$div_num": "integer"}.get(name))
         out.flt = out_flt
         out.emsg = self._m(a.emsg, b.emsg, str_emsg, zero_msg)
@@ -739,13 +824,17 @@ class FlatCompiler:
         sa, sb = _is_str(a), _is_str(b)
         err = _err(a) | _err(b) | (sa != sb)
         na, nb = _num_or_null(a), _num_or_null(b)
-        la, lb = _lng_or_null(a), _lng_or_null(b)
-        both_i = la.isNotNull() & lb.isNotNull()
-        lng = F.when(both_i, la + lb)  # wrapping i64, exact above 2**53
         raw = F.when(sa & sb, F.concat(_str_repr(a), _str_repr(b)))
-        out = FV(raw=raw,
-                 num=F.when(both_i, lng.cast("double")).otherwise(na + nb),
-                 err=err, lng=lng)
+        if _both_small(a, b):
+            ba, bb = _static_bound(a), _static_bound(b)
+            out = FV(raw=raw, num=na + nb, err=err, bound=ba + bb)
+        else:
+            la, lb = _lng_or_null(a), _lng_or_null(b)
+            both_i = la.isNotNull() & lb.isNotNull()
+            lng = F.when(both_i, la + lb)  # wrapping i64, exact above 2**53
+            out = FV(raw=raw,
+                     num=F.when(both_i, lng.cast("double")).otherwise(na + nb),
+                     err=err, lng=lng)
         out.flt = _is_float_kind(a) | _is_float_kind(b)
         out.may_numeric_str = True
         # mixed string+non-string: value.rs Add names both kinds
@@ -789,7 +878,7 @@ class FlatCompiler:
                "$day": F.dayofmonth, "$month": F.month, "$year": F.year}.get(name)
         col = fld(local) if fld else (F.dayofweek(local) + 5) % 7
         out = FV(num=col.cast("double"), err=err, numeric_only=True,
-                 lng=col.cast("long"), skind="integer")
+                 bound=1_000_000, skind="integer")
         out.emsg = emsg
         return out
 
@@ -810,8 +899,7 @@ class FlatCompiler:
                 return out
         if target == "bool":
             out = FV(num=_truthy(a).cast("double"), err=_err(a),
-                     numeric_only=True, lng=_truthy(a).cast("long"),
-                     skind="boolean")
+                     numeric_only=True, bound=1, skind="boolean")
             out.emsg = a.emsg
             return out
         if target == "string":
@@ -857,6 +945,13 @@ class FlatCompiler:
         # _parse_i64), truncate-toward-zero (saturating, exact-i64) for
         # numeric kinds
         word = "duration" if target == "duration" else "integer"
+        ab = _static_bound(a)
+        if ab is not None and ab < _EXACT_I64_IN_DOUBLE:
+            # bounded int-kind input: truncation is identity, stays small
+            out = FV(num=_num_rt(a), err=_arith_err(a),
+                     numeric_only=True, bound=ab, skind=word)
+            out.emsg = a.emsg
+            return out
         ex = F.coalesce(_lng_or_null(a), _num_rt(a).cast("long"))
         if s is None:
             out = FV(num=ex.cast("double"), err=_arith_err(a),

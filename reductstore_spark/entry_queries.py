@@ -1255,19 +1255,32 @@ SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard FROM (
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs inside LSH buckets (the
-    scale path: bucket first, exact cosine only within buckets)."""
+    scale path: bucket first, exact cosine only within buckets).
+
+    Two scale guards, both mirrored in the oracle:
+    - per-bucket cap (512, deterministic by vec_id): the in-bucket join
+      is quadratic, and duplicate-dense corpora concentrate into few
+      buckets — the sf1 soak measured 53x at 10x data without the cap.
+      Inert at gate scales (~8 vectors/bucket at sf0.1).
+    - the pair cosines run through the Arrow-vectorized numpy kernel
+      (cosine_pd): per-element interpreted lambdas dominated the soak.
+    """
     prep(spark)
-    from .operators.similarity import cosine, lsh_bucket, plane_coeffs
+    from .operators.similarity import cosine_pd, lsh_bucket, plane_coeffs
     emb = _t(spark, sf_dir, "embeddings")
     planes = plane_coeffs(8, 64)
     b = emb.select("vec_id", "embedding",
                    lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    b = (b.withColumn("__rn", F.row_number().over(w))
+         .where(F.col("__rn") <= 512).drop("__rn"))
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                    & (F.col("x.vec_id") < F.col("y.vec_id")))
     out = pairs.select(
         F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"),
-        F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 6).alias("cosine"))
+        F.round(cosine_pd(F.col("x.embedding"), F.col("y.embedding")),
+                6).alias("cosine"))
     # 0.38 sits just under the corpus max in-bucket cosine (the synthetic
     # embeddings are near-random: no true dups exist at any SF), so the
     # top-similarity tail is non-empty at every gate scale
@@ -1275,12 +1288,15 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 SQL_DEDUP_EMBEDDING = """
-WITH b AS (
+WITH b0 AS (
   SELECT vec_id, embedding,
     CAST(list_sum([ CASE WHEN list_sum(
           [ embedding[d+1]::DOUBLE * (((p*31 + d*17) % 13) - 6) FOR d IN range(0, 64) ]
         ) >= 0 THEN 2 ** p ELSE 0 END FOR p IN range(0, 8) ]) AS BIGINT) AS bucket
   FROM embeddings
+), b AS (
+  SELECT vec_id, embedding, bucket FROM b0
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 512
 )
 SELECT id_a, id_b, cosine FROM (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b,

@@ -190,7 +190,7 @@ def _flat_value_display(node, labels: Column, computed: Column,
     codegen) tier and render its canonical display string, null on
     evaluation error.  Raises fastcols.Unsupported outside the tier.
 
-    ``label_fvs`` passes pre-bound (raw, num, flt) leaf columns so every
+    ``label_fvs`` passes pre-bound (raw, num, flt, lng) leaf columns so every
     source-label reference compiles to an attribute read instead of
     re-inlining the dynamic-parse tree (same let-binding the planner
     does for predicates, planner._flat_bound)."""
@@ -285,7 +285,7 @@ def _label_expr_compiled(df: DataFrame, params,
     except Exception:
         return None
 
-    # let-bind the (raw, num, flt) parse of every referenced source
+    # let-bind the (raw, num, flt, lng) parse of every referenced source
     # label ONCE (planner._flat_bound's trick, here for value
     # expressions): each leaf reference inside a label expression then
     # reads an attribute instead of re-inlining the dynamic-parse

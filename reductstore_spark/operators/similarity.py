@@ -30,6 +30,38 @@ def norm(a: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x))
 
 
+def cosine_pd(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine for PAIR-heavy plans.
+
+    The Column `cosine` kernel runs its higher-order lambdas interpreted
+    per element — fine when cosines number ~rows (top-k, ANN probes),
+    but a bucketed near-dup join computes O(sum bucket^2) cosines and
+    the per-element interpretation dominated the sf1 soak (dedup
+    embedding 95 s; numpy batches the same dot products in
+    milliseconds).  Same float64 math, same rounding behavior."""
+    return _cosine_pd_udf()(a, b)
+
+
+def _cosine_pd_udf():
+    import pandas as pd  # noqa: F401 — needed for the udf type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(xs, ys):
+        import numpy as np
+        import pandas as pd
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        ax = np.asarray(xs.tolist(), dtype=np.float64)
+        ay = np.asarray(ys.tolist(), dtype=np.float64)
+        num = (ax * ay).sum(axis=1)
+        den = np.linalg.norm(ax, axis=1) * np.linalg.norm(ay, axis=1)
+        return pd.Series(num / den)
+
+    _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 

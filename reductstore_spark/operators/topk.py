@@ -22,5 +22,8 @@ def global_top_k(df: DataFrame, k: int, order: Sequence[Column],
     ``rank_col``.  ``order`` must be a total order (include a unique
     tiebreak column) for reproducible results."""
     top = df.orderBy(*order).limit(k)
-    w = Window.orderBy(*order)
+    # constant partition key: identical single-partition execution over
+    # the <= k survivors, but silences Spark's "No Partition Defined"
+    # warning that an empty partitionBy triggers
+    w = Window.partitionBy(F.lit(1)).orderBy(*order)
     return top.withColumn(rank_col, F.row_number().over(w))

@@ -210,7 +210,48 @@ def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None,
                             label_columns=label_columns,
                             label_fvs=label_fvs, computed_fvs=computed_fvs,
                             strict=strict)
-    preds = [compiler.predicate(n) for n in nodes]  # may raise Unsupported
+
+    def compile_pred(n):
+        # Wide top-level conjunctions additionally bind each operand's
+        # (truthy, err[, emsg]) as attributes: _logical's flat fold
+        # references every operand O(n) times, and with heavy operand
+        # trees (five date extractions in when_date2) the inlined
+        # expression blew past Janino's 64 KB method limit even with
+        # leaves bound — the count-aggregate stage then ran interpreted.
+        # Bound conjuncts make the fold a combination of attribute reads.
+        from ..condition.ast import Op as _Op
+        from ..condition.fastcols import FV as _FV
+        from ..condition.fastcols import _emsg, _err, _truthy
+        inner = n
+        # parse_when wraps everything in a root $and; descend single-
+        # child $and chains (identical truthy/error semantics)
+        while (isinstance(inner, _Op) and inner.name == "$and"
+               and len(inner.operands) == 1):
+            inner = inner.operands[0]
+        if not (isinstance(inner, _Op) and inner.name in ("$and", "$or")
+                and len(inner.operands) >= 3):
+            return compiler.predicate(n)
+        ops = []
+        for j, o in enumerate(inner.operands):
+            fv = compiler.compile(o)  # may raise Unsupported
+            t, e = f"__cj{j}t{len(adds)}", f"__cj{j}e{len(adds)}"
+            adds.append((t, F.coalesce(_truthy(fv), F.lit(False))))
+            adds.append((e, F.coalesce(_err(fv), F.lit(False))))
+            nfv = _FV(num=F.col(t).cast("double"), err=F.col(e),
+                      numeric_only=True, bound=1, skind="boolean")
+            if strict:
+                m = f"__cj{j}m{len(adds)}"
+                adds.append((m, _emsg(fv)))
+                nfv.emsg = F.col(m)
+            ops.append(nfv)
+        combined = compiler._logical(inner.name, ops)
+        if strict:
+            em = _emsg(combined)
+            return F.when(em.isNotNull(), F.raise_error(em)).otherwise(
+                F.coalesce(_truthy(combined), F.lit(False)))
+        return F.coalesce(_truthy(combined) & ~_err(combined), F.lit(False))
+
+    preds = [compile_pred(n) for n in nodes]  # may raise Unsupported
 
     if not adds:
         return df, preds, []

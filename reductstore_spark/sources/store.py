@@ -395,15 +395,12 @@ class RecordStore:
 
     def _drop_entry_dirs(self, bucket: str, entry: str) -> None:
         import shutil
-        from urllib.parse import quote
 
         broot = os.path.join(self.root, f"bucket={bucket}")
-        # Spark escapes partition values (e.g. '/' -> %2F); try both the
-        # escaped form and a raw scan for robustness
-        candidates = {quote(entry, safe=""), entry}
+        want = f"entry={_escape_path_name(entry)}"
         if os.path.isdir(broot):
             for d in os.listdir(broot):
-                if d.startswith("entry=") and d[len("entry="):] in candidates:
+                if d == want:
                     shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
 
     # -- info ------------------------------------------------------------

@@ -16,6 +16,7 @@ PY_OK = {
     "pack_sequences", "select_labels", "ctx_padding_duration", "limit",
     "ctx_padding", "each_n", "dedup_components", "ann_ivf",
     "store_roundtrip", "store_remove", "update_labels",
+    "dedup_embedding",  # Arrow-vectorized pair cosine (cosine_pd)
 }
 # scalar (1-row / tiny-broadcast) cross joins
 NLJ_OK = {

@@ -241,4 +241,6 @@ def test_ext_pipeline_binds_leaves_once(spark, sf_dir):
     regex appears a bounded number of times in the plan (once per bound
     leaf + one dry-run remnant), not once per AST reference."""
     plan = plan_of(QUERIES["ext_pipeline"][0](spark, sf_dir))
-    assert plan.count("RLIKE") <= 4, f"leaf parse re-inlined: {plan.count('RLIKE')} RLIKEs"
+    # one extra bounded RLIKE per leaf since the exact-i64 lane landed
+    # (lng tries a strict i64 parse); still O(leaves), not O(references)
+    assert plan.count("RLIKE") <= 6, f"leaf parse re-inlined: {plan.count('RLIKE')} RLIKEs"
