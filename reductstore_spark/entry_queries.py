@@ -1806,6 +1806,148 @@ def q_doc_rarity(spark, sf_dir):
                  F.max("df").alias("max_df")))
 
 
+def q_curation_report(spark, sf_dir):
+    """Per-language curation mix: document/token share of the corpus plus
+    exact token-count quantiles (p50/p90/p99) — the composition report a
+    training-data pipeline checks when weighting sources/languages.
+
+    Scale shape: one hash aggregate per language (map-side combine) plus
+    a 1-row corpus-total broadcast; exact per-group percentiles are fine
+    because group count is the LANGUAGE cardinality, not corpus size.
+    Spark's percentile() and DuckDB's quantile_cont share the
+    (n-1)*p linear-interpolation definition bit-for-bit (probed)."""
+    prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+        .alias("tok"))
+    per = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+        F.percentile("tok", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("tok", F.lit(0.9)).alias("p90_tokens"),
+        F.percentile("tok", F.lit(0.99)).alias("p99_tokens"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t_docs"),
+                   F.sum("tok").alias("t_tokens"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "n_tokens",
+                    F.round(F.col("n_docs") / F.col("t_docs"), 6)
+                    .alias("doc_share"),
+                    F.round(F.col("n_tokens") / F.col("t_tokens"), 6)
+                    .alias("token_share"),
+                    "p50_tokens", "p90_tokens", "p99_tokens"))
+
+
+SQL_CURATION_REPORT = r"""
+WITH toks AS (
+  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), per AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         quantile_cont(tok, 0.5) AS p50_tokens,
+         quantile_cont(tok, 0.9) AS p90_tokens,
+         quantile_cont(tok, 0.99) AS p99_tokens
+  FROM toks GROUP BY lang
+), tot AS (
+  SELECT count(*) AS t_docs, CAST(sum(tok) AS BIGINT) AS t_tokens FROM toks
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_docs / t_docs, 6) AS doc_share,
+       round(n_tokens / t_tokens, 6) AS token_share,
+       p50_tokens, p90_tokens, p99_tokens
+FROM per, tot
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document novelty: the share of its distinct word 3-grams whose
+    corpus-wide FIRST occurrence (min doc_id) is this document — the
+    freshness signal behind dedup-aware data ordering (a replica or
+    near-copy of earlier material scores ~0).
+
+    Scale shape: the standard inverted-index build — distinct (doc,
+    gram) rows from the codegen shingle path, one hash aggregate keyed
+    on gram for the first-occurrence table, and the join back happens on
+    the same key so the gram side needs no second shuffle."""
+    prep(spark)
+    from .operators.dedup import exploded_shingles
+    docs = _t(spark, sf_dir, "documents")
+    g = exploded_shingles(docs, "doc_id", "text", 3)
+    first = g.groupBy("s").agg(F.min("id").alias("first_doc"))
+    return (g.join(first, "s")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("id")).cast("long"))
+                 .alias("n_novel"),
+                 F.round(F.sum((F.col("first_doc") == F.col("id"))
+                               .cast("long")) / F.count(F.lit(1)), 6)
+                 .alias("novelty")))
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH w AS (
+  SELECT doc_id, gi,
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM (SELECT doc_id, text, 1 AS gi FROM documents)
+), g0 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+), g AS (SELECT DISTINCT doc_id, s FROM g0),
+first AS (SELECT s, min(doc_id) AS first_doc FROM g GROUP BY s)
+SELECT doc_id, count(*) AS n_grams,
+  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM g JOIN first USING (s) GROUP BY doc_id
+"""
+
+
+def q_shingle_dup_profile(spark, sf_dir):
+    """Partial-copy detection: per document, the fraction of its distinct
+    8-word shingles that also appear in at least one OTHER document —
+    near-1 flags a doc substantially contained in the corpus even when
+    whole-document dedup misses it (reference-style dedup operators work
+    at record granularity; training pipelines need the sub-document
+    signal too).
+
+    Scale shape: same inverted-index build as ngram_novelty; "appears in
+    >= 2 distinct docs" needs only min(doc) != max(doc) per shingle —
+    no distinct-count sketch, one hash aggregate."""
+    prep(spark)
+    from .operators.dedup import exploded_shingles
+    docs = _t(spark, sf_dir, "documents")
+    g = exploded_shingles(docs, "doc_id", "text", 8)
+    spread = g.groupBy("s").agg(
+        (F.min("id") != F.max("id")).cast("long").alias("shared"))
+    return (g.join(spread, "s")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum("shared").alias("n_shared"),
+                 F.round(F.sum("shared") / F.count(F.lit(1)), 6)
+                 .alias("dup_frac")))
+
+
+SQL_SHINGLE_DUP_PROFILE = r"""
+WITH w AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+  FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
+), g AS (SELECT DISTINCT doc_id, s FROM g0),
+spread AS (
+  SELECT s, CASE WHEN min(doc_id) <> max(doc_id) THEN 1 ELSE 0 END AS shared
+  FROM g GROUP BY s
+)
+SELECT doc_id, count(*) AS n_shingles,
+  CAST(sum(shared) AS BIGINT) AS n_shared,
+  round(sum(shared) / count(*), 6) AS dup_frac
+FROM g JOIN spread USING (s) GROUP BY doc_id
+"""
+
+
 SQL_DOC_RARITY = r"""
 WITH w AS (
   SELECT doc_id,
@@ -3753,6 +3895,10 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_each_t": (q_stream_each_t, SQL_EACH_T),
     "stream_gate": (q_stream_gate, SQL_GATE),
     "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
+    # new in round 3 (never driver-verified)
+    "curation_report": (q_curation_report, SQL_CURATION_REPORT),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "shingle_dup_profile": (q_shingle_dup_profile, SQL_SHINGLE_DUP_PROFILE),
     # tier 2: stream/store/dedup gate entries, never driver-verified
     "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
     "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),

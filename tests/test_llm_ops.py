@@ -267,3 +267,48 @@ def test_chunk_documents_windows(spark):
     assert h[(1, 1)] == hashlib.md5(b"t2 t3 t4 t5").hexdigest()
     assert h[(1, 2)] == hashlib.md5(b"t3 t4 t5 t6").hexdigest()
     assert h[(2, 0)] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_ngram_novelty_and_dup_profile_hand_case(spark):
+    """doc 1 is original; doc 2 copies half of doc 1's text; doc 3 is
+    fully distinct.  Novelty credits first occurrence by doc_id; the
+    dup profile flags shared shingles symmetrically."""
+    from reductstore_spark.operators.dedup import exploded_shingles
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y"),   # shares 3-grams "a b c", "b c d" with doc 1
+        (3, "p q r s t u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    g = exploded_shingles(docs, "doc_id", "text", 3)
+    first = g.groupBy("s").agg(F.min("id").alias("first_doc"))
+    nov = {r["id"]: r["novel"] for r in
+           g.join(first, "s").groupBy("id")
+            .agg(F.sum((F.col("first_doc") == F.col("id")).cast("long"))
+                 .alias("novel")).collect()}
+    # doc 1: all 4 grams novel; doc 2: 2 of 4 novel; doc 3: all novel
+    assert nov == {1: 4, 2: 2, 3: 4}
+
+    spread = g.groupBy("s").agg(
+        (F.min("id") != F.max("id")).cast("long").alias("shared"))
+    shr = {r["id"]: r["shared"] for r in
+           g.join(spread, "s").groupBy("id")
+            .agg(F.sum("shared").alias("shared")).collect()}
+    assert shr == {1: 2, 2: 2, 3: 0}
+
+
+def test_cosine_pd_matches_column_cosine(spark):
+    """The Arrow-vectorized cosine must agree with the JVM Column kernel
+    bit-for-bit after round(6) (it replaces it on pair-heavy plans)."""
+    from reductstore_spark.operators.similarity import cosine, cosine_pd
+
+    rows = [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+            ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+            ([0.5, -2.5, 1.25], [-3.0, 0.25, 8.0])]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = df.select(
+        F.round(cosine(F.col("a"), F.col("b")), 6).alias("jvm"),
+        F.round(cosine_pd(F.col("a"), F.col("b")), 6).alias("np")).collect()
+    for r in got:
+        assert r["jvm"] == r["np"], (r["jvm"], r["np"])

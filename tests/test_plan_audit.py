@@ -24,6 +24,7 @@ NLJ_OK = {
     "gapfill_daily", "pmi_bigrams", "ann_ivf", "decontaminate",
     "tfidf_topk", "sim_cosine_topk", "ann_lsh", "curriculum_mix",
     "doc_rarity", "embedding_quantize",
+    "curation_report",  # 1-row corpus-total broadcast
 }
 
 NAMES = sorted(n for n in QUERIES if n not in BENCH_EXCLUDE)

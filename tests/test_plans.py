@@ -244,3 +244,19 @@ def test_ext_pipeline_binds_leaves_once(spark, sf_dir):
     # one extra bounded RLIKE per leaf since the exact-i64 lane landed
     # (lng tries a strict i64 parse); still O(leaves), not O(references)
     assert plan.count("RLIKE") <= 6, f"leaf parse re-inlined: {plan.count('RLIKE')} RLIKEs"
+
+
+def test_wide_conjunction_compiles_within_janino_limit(spark, sf_dir):
+    """when_date2's five date extractions previously blew the generated
+    count-stage method past Janino's 64 KB limit and the whole stage ran
+    interpreted.  With codegen fallback DISABLED, compilation failures
+    become hard errors — this pins that the conjunct-binding planner
+    path keeps every generated method compilable."""
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in ("when_date2", "when_logic", "when_date", "when_cmp",
+                     "when_arith", "when_rem_divnum", "count"):
+            QUERIES[name][0](spark, sf_dir).count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
