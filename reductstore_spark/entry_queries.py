@@ -720,10 +720,10 @@ def q_agg_pricing(spark, sf_dir):
 
 SQL_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
       AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem
@@ -756,11 +756,11 @@ def q_join_topn(spark, sf_dir):
 SQL_JOIN_TOPN = """
 SELECT o_orderkey, revenue, CAST(rnk AS INT) AS rnk FROM (
   SELECT o_orderkey,
-    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         AS revenue,
-    row_number() OVER (ORDER BY CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) DESC,
+    row_number() OVER (ORDER BY CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) DESC,
         o_orderkey) AS rnk
   FROM customer, orders, lineitem
   WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -794,8 +794,8 @@ def q_join_region(spark, sf_dir):
 
 SQL_JOIN_REGION = """
 SELECT n_name,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
       AS revenue,
   count(*) AS n_items
 FROM lineitem, orders, customer, nation, region
@@ -1361,12 +1361,12 @@ WITH j AS (
     p_type
   FROM lineitem JOIN part ON l_partkey = p_partkey
 )
-SELECT CAST(SUM(CASE WHEN starts_with(p_type, 'STANDARD') THEN rev
-                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS standard_rev,
-       CAST(SUM(rev) AS DOUBLE) AS total_rev,
-       round(CAST(SUM(CASE WHEN starts_with(p_type, 'STANDARD') THEN rev
-                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
-             / CAST(SUM(rev) AS DOUBLE), 6) AS share
+SELECT CAST(CAST(SUM(CASE WHEN starts_with(p_type, 'STANDARD') THEN rev
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS standard_rev,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_rev,
+       round(CAST(CAST(SUM(CASE WHEN starts_with(p_type, 'STANDARD') THEN rev
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 6) AS share
 FROM j
 """
 
@@ -1506,7 +1506,7 @@ def q_events_daily(spark, sf_dir):
 SQL_EVENTS_DAILY = """
 SELECT event_type AS entry, epoch_us(ts) // 86400000000 AS day,
   count(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1982,7 +1982,7 @@ def q_join_salted(spark, sf_dir):
 
 SQL_JOIN_SALTED = """
 SELECT o_orderstatus, count(*) AS n,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -2476,8 +2476,8 @@ def q_agg_rollup(spark, sf_dir):
 SQL_AGG_ROLLUP = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
       AS revenue,
   count(*) AS n_items
 FROM lineitem
@@ -2547,11 +2547,11 @@ def q_join_anti_inactive(spark, sf_dir):
 
 SQL_JOIN_ANTI_INACTIVE = """
 WITH thr AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS thr
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS thr
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_mktsegment AS segment, count(*) AS n_cust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer, thr
 WHERE c_acctbal > thr
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -2591,11 +2591,11 @@ def q_small_qty_revenue(spark, sf_dir):
 SQL_SMALL_QTY_REVENUE = """
 WITH avgq AS (
   SELECT l_partkey AS pk,
-         0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS lim
+         0.2 * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS lim
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_brand AS brand,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON p_partkey = l_partkey AND p_size < 10
@@ -2646,7 +2646,7 @@ WITH rev AS (
 )
 SELECT nation, yr, CAST(rev_dec AS DOUBLE) AS revenue,
        round(CAST(rev_dec AS DOUBLE) /
-             CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+             CAST(CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS VARCHAR) AS DOUBLE), 6) AS share
 FROM rev
 """
 
@@ -2697,7 +2697,7 @@ def q_agg_distinct(spark, sf_dir):
 SQL_AGG_DISTINCT = """
 SELECT event_type, count(DISTINCT user_id) AS n_users,
        count(DISTINCT date_trunc('day', ts)) AS n_days,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """
 
@@ -2815,7 +2815,7 @@ SQL_GAPFILL_DAILY = """
 WITH b AS (
   SELECT user_id, epoch_us(ts) // 86400000000 AS day,
          count(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
   FROM events GROUP BY user_id, day
 ), span AS (SELECT min(day) AS mn, max(day) AS mx FROM b),
 keys AS (SELECT DISTINCT user_id FROM events),
@@ -2970,7 +2970,7 @@ WITH w AS (
 ), c AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w)
 SELECT source, count(*) AS n_types, sum(c) AS n_tokens,
        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
-       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+       round(count(*) / CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE), 6) AS type_token_ratio
 FROM c GROUP BY source
 """
 
@@ -3170,8 +3170,8 @@ def q_sql_surface(spark, sf_dir):
     register_tables(prep(spark), sf_dir, tables=("events",))
     return spark.sql("""
         SELECT entry, count(*) AS n,
-               CAST(SUM(CAST(CAST(labels['value'] AS DOUBLE)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               CAST(CAST(SUM(CAST(CAST(labels['value'] AS DOUBLE)
+                             AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
                count(DISTINCT labels['user']) AS n_users
         FROM records
         WHERE CAST(labels['value'] AS DOUBLE) > 50
@@ -3181,7 +3181,7 @@ def q_sql_surface(spark, sf_dir):
 
 SQL_SQL_SURFACE = """
 SELECT event_type AS entry, count(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events WHERE value > 50
 GROUP BY event_type
@@ -3441,9 +3441,9 @@ def q_length_outliers(spark, sf_dir):
 SQL_LENGTH_OUTLIERS = """
 WITH st AS (
   SELECT lang, count(*) AS n,
-         CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(n_chars AS DECIMAL(28,0))
-                  * CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS s2
+         CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,0))
+                  * CAST(n_chars AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) AS s2
   FROM documents GROUP BY lang
 )
 SELECT doc_id, lang, n_chars,
@@ -3488,7 +3488,7 @@ WITH dims AS (
   FROM embeddings
 ), cent AS (
   SELECT label, d,
-         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         CAST(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
   FROM dims GROUP BY label, d
 ), sq AS (
   SELECT dims.label, vec_id,
@@ -3497,7 +3497,7 @@ WITH dims AS (
   GROUP BY dims.label, vec_id
 )
 SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
-       round(CAST(SUM(dist2) AS DOUBLE) / count(*), 6) AS mean_dist2,
+       round(CAST(CAST(SUM(dist2) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_dist2,
        round(CAST(MAX(dist2) AS DOUBLE), 6) AS max_dist2
 FROM sq GROUP BY label
 """
@@ -3536,8 +3536,8 @@ def q_nation_trade(spark, sf_dir):
 SQL_NATION_TRADE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(o_orderdate) AS BIGINT) AS yr,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
       AS revenue,
   count(*) AS n_items
 FROM lineitem
@@ -3599,8 +3599,8 @@ def q_disjunctive_filter(spark, sf_dir):
 
 SQL_DISJUNCTIVE_FILTER = """
 SELECT p_brand AS brand,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
       AS revenue,
   count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -260,3 +260,29 @@ def test_wide_conjunction_compiles_within_janino_limit(spark, sf_dir):
             QUERIES[name][0](spark, sf_dir).count()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_strict_conjunct_binding_first_error_wins(spark):
+    """The conjunct-binding path (wide $and/$or) must keep strict-mode
+    semantics: raise the FIRST error in operand order, and not raise at
+    all when an earlier operand already decided the result."""
+    from reductstore_spark.condition.parser import parse_when
+    from reductstore_spark.plans.planner import plan_parsed
+
+    df = spark.createDataFrame(
+        [(0, {"a": "5"})], "ts long, labels map<string,string>")
+
+    def run(when):
+        node, d = parse_when(when)
+        return plan_parsed(df, node, d, strict=True).count()
+
+    # 3+ operands engage conjunct binding; missing labels error in order
+    with pytest.raises(Exception, match="Reference '&m1' not found"):
+        run({"$and": [{"&a": {"$gt": 1}}, {"&m1": {"$gt": 0}},
+                      {"&m2": {"$gt": 0}}]})
+    # an earlier operand deciding the result short-circuits the error
+    # (all_of.rs: the scan stops at the first falsifying operand)
+    assert run({"$and": [{"&a": {"$gt": 99}}, {"&m1": {"$gt": 0}},
+                         {"&a": {"$gt": 1}}]}) == 0
+    assert run({"$or": [{"&a": {"$gt": 1}}, {"&m1": {"$gt": 0}},
+                        {"&m2": {"$gt": 0}}]}) == 1
