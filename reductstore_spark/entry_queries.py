@@ -3171,7 +3171,7 @@ def q_sql_surface(spark, sf_dir):
     return spark.sql("""
         SELECT entry, count(*) AS n,
                CAST(CAST(SUM(CAST(CAST(labels['value'] AS DOUBLE)
-                             AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+                             AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_value,
                count(DISTINCT labels['user']) AS n_users
         FROM records
         WHERE CAST(labels['value'] AS DOUBLE) > 50
@@ -3181,7 +3181,7 @@ def q_sql_surface(spark, sf_dir):
 
 SQL_SQL_SURFACE = """
 SELECT event_type AS entry, count(*) AS n,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events WHERE value > 50
 GROUP BY event_type

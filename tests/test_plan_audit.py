@@ -43,3 +43,25 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
         for marker in ("ArrowEvalPython", "BatchEvalPython",
                        "MapInPandas", "FlatMapGroupsInPandas"):
             assert marker not in plan, f"{name}: unexpected {marker}"
+
+
+def test_fleet_codegen_compiles_no_fallback(spark, sf_dir):
+    """Execute every bench query with codegen fallback DISABLED: any
+    generated method past Janino's 64 KB limit (or otherwise
+    uncompilable) becomes a hard error instead of a silent interpreted
+    fallback.  An interpreted stage on the scan path is a 100 TB
+    perf cliff that plan-shape checks cannot see (plans compile lazily
+    at execution, not at explain)."""
+    prep(spark)
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    failures = []
+    try:
+        for name in NAMES:
+            try:
+                QUERIES[name][0](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                failures.append((name, str(exc)[:160]))
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    assert not failures, failures
