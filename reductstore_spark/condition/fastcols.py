@@ -289,14 +289,24 @@ def _display(fv: FV) -> Column:
                   .when(f_int, num.cast("long").cast("string"))
                   .otherwise(_float_str(num)))
     if fv.may_numeric_str:
-        # $add outputs: raw is non-null iff STRING kind, displayed verbatim
-        return F.coalesce(raw, float_disp)
-    # i64 Display normalizes the sign: "+42" -> "42", "-0" -> "0"
-    # (i64-overflow digit runs fall back to raw)
-    int_disp = F.coalesce(raw.try_cast("long").cast("string"), raw)
+        # $add outputs: raw is non-null iff STRING kind, displayed verbatim.
+        # Int-kind results display from the exact i64 lane when one exists
+        # — the double lane's digits round above 2**53 (fuzz-found via
+        # $contains over $add of a chrono-bound label)
+        num_disp = float_disp
+        if fv.lng is not None:
+            num_disp = (F.when(fv.lng.isNotNull(), fv.lng.cast("string"))
+                        .otherwise(float_disp))
+        return F.coalesce(raw, num_disp)
+    # i64 Display normalizes the sign: "+42" -> "42", "-0" -> "0".
+    # A digit run that OVERFLOWS i64 is Float kind (the parse order falls
+    # through to f64), so it must render via the float path, not raw
+    # text ("9223372036854775808" displays as "9223372036854776000" —
+    # fuzz-found)
+    int_cast = raw.try_cast("long")
     return (
         F.when(raw.isin("true", "false"), raw)
-        .when(int_like, int_disp)
+        .when(int_like & int_cast.isNotNull(), int_cast.cast("string"))
         .when(num.isNotNull(), float_disp)
         .otherwise(raw)
     )

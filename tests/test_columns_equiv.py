@@ -263,3 +263,34 @@ def test_hostile_value_matrix_three_tiers(spark):
             assert r["s"] == want, (c, labels, "struct", r["s"], want)
             if flat_ok:
                 assert r["f"] == want, (c, labels, "flat", r["f"], want)
+
+
+def test_display_edges_all_tiers_i64_overflow_and_exact_add(spark):
+    """Two fuzz-found display divergences pinned across compiled tiers:
+    (a) an i64-overflowing digit run is Float kind — displays as
+    '9223372036854776000', not the raw digits; (b) Int-kind $add results
+    display exact i64 digits (the double lane rounds past 2**53)."""
+    from pyspark.sql import functions as F
+    from reductstore_spark.condition.columns import ColumnCompiler
+    from reductstore_spark.condition.fastcols import FlatCompiler
+    from reductstore_spark.condition.parser import parse_when
+
+    cases = [
+        ({"$contains": [{"$cast": ["&a", "string"]}, "9223372036854776000"]},
+         {"a": "9223372036854775808"}, True),
+        ({"$contains": [{"$cast": ["&a", "string"]}, "9223372036854775808"]},
+         {"a": "9223372036854775808"}, False),
+        ({"$contains": [{"$add": ["&c", "&b"]}, "&b"]},
+         {"c": "1", "b": "-8334632851200000000"}, False),
+        ({"$eq": [{"$cast": [{"$add": ["&c", "&b"]}, "string"]},
+                  "-8334632851199999999"]},
+         {"c": "1", "b": "-8334632851200000000"}, True),
+    ]
+    for cond, labels, want in cases:
+        node, _ = parse_when(cond)
+        df = spark.createDataFrame([(0, labels)],
+                                   "ts long, labels map<string,string>")
+        for mk in (FlatCompiler, ColumnCompiler):
+            pred = mk(F.col("ts"), F.col("labels")).predicate(node)
+            got = df.select(pred.alias("p")).collect()[0]["p"]
+            assert got == want, (mk.__name__, cond, got, want)

@@ -225,3 +225,27 @@ def test_chrono_bound_timestamps_interpreter_vs_bounds():
         else:
             with pytest.raises(CondError):
                 Evaluator(node).apply(ctx)
+
+
+def test_overflow_digit_run_is_float_kind_display():
+    """A digit run that overflows i64 parses as Float (value.rs parse
+    order), so its Display is the float rendering, not the raw digits
+    (fuzz-found via $contains)."""
+    node, _ = parse_when(
+        {"$contains": [{"$cast": ["&a", "string"]}, "9223372036854776000"]})
+    assert V.as_bool(Evaluator(node).apply(
+        Context(0, {"a": "9223372036854775808"})))
+    node2, _ = parse_when(
+        {"$contains": [{"$cast": ["&a", "string"]}, "9223372036854775808"]})
+    assert not V.as_bool(Evaluator(node2).apply(
+        Context(0, {"a": "9223372036854775808"})))
+
+
+def test_add_display_is_exact_at_i64_edge():
+    """Display of an Int-kind $add result uses exact i64 digits — the
+    double lane rounds above 2**53 (fuzz-found via $contains)."""
+    node, _ = parse_when({"$eq": [
+        {"$cast": [{"$add": ["&c", "&b"]}, "string"]},
+        "-8334632851199999999"]})
+    labels = {"c": "1", "b": "-8334632851200000000"}
+    assert V.as_bool(Evaluator(node).apply(Context(0, labels)))
