@@ -2006,7 +2006,7 @@ def q_corpus_stats(spark, sf_dir):
 
 
 SQL_CORPUS_STATS = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
   round(avg(n_chars), 6) AS avg_chars,
   quantile_cont(n_chars, 0.5) AS median_chars,
   min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -2726,9 +2726,9 @@ def q_curriculum_mix(spark, sf_dir):
 SQL_CURRICULUM_MIX = r"""
 SELECT doc_id, source, tok, cum_tok FROM (
   SELECT doc_id, source, tok,
-    SUM(tok) OVER (PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+    CAST(SUM(tok) OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
   FROM (SELECT doc_id, source,
           len(string_split_regex(trim(text), '\s+')) AS tok
         FROM documents)
@@ -2968,8 +2968,8 @@ WITH w AS (
                         ' ')) AS w
   FROM documents
 ), c AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w)
-SELECT source, count(*) AS n_types, sum(c) AS n_tokens,
-       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
        round(count(*) / CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE), 6) AS type_token_ratio
 FROM c GROUP BY source
 """
@@ -3681,7 +3681,7 @@ WITH gated AS (
     FROM gated
   ) WHERE rn = 1
 )
-SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM deduped GROUP BY source
 """
 

@@ -50,6 +50,11 @@ def canon(cols, rows):
 
 NAMES = sorted(entry_mod.queries().keys())
 
+# DuckDB result types the driver's type-sensitive hash can never match,
+# because Spark has no corresponding physical type.
+FORBIDDEN_ORACLE_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                          "USMALLINT", "UTINYINT"}
+
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
@@ -62,6 +67,13 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
         assert len(srows) >= 0  # rows-only check for non-SQL ops
         return
     res = ddb.sql(sql)
+    # Driver hashes are TYPE-sensitive: a DuckDB HUGEINT (sum(BIGINT)
+    # widens to int128) hashes differently from Spark's BIGINT even when
+    # every value matches (the r3 corpus_stats/pipeline_end_to_end reds).
+    # Pin every oracle's output to types Spark can emit.
+    bad = [(c, str(t)) for c, t in zip(res.columns, res.types)
+           if str(t).split("(")[0].upper() in FORBIDDEN_ORACLE_TYPES]
+    assert not bad, f"{name}: oracle column types Spark cannot emit: {bad}"
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
