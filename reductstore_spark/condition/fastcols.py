@@ -768,8 +768,12 @@ class FlatCompiler:
                 la, lb = _lng_or_null(a), _lng_or_null(b)
                 both_i = la.isNotNull() & lb.isNotNull()
                 # Spark non-ANSI long arithmetic wraps like Rust release
-                # i64 (`div`(MIN,-1) -> MIN, MIN % -1 -> 0, double->long
-                # saturates, NaN -> 0 — all probed): exact value.rs match
+                # i64 for +/-/* (MIN % -1 -> 0, double->long saturates,
+                # NaN -> 0 — all probed): exact value.rs match.  One
+                # deliberate deviation: Rust i64 division panics on
+                # MIN/-1 even in release (the reference would abort the
+                # request); both our compiled tiers and the interpreter
+                # consistently wrap to MIN instead.
                 lng = F.when(both_i, la - lb)
                 num = F.when(both_i, lng.cast("double")).otherwise(na - nb)
         elif name == "$mult":

@@ -60,7 +60,13 @@ def _tz_offset_us(tz, ts_us: int) -> int:
         rem = ts_us - days * _US_PER_DAY
         from .values import _civil_from_days, _days_from_civil
         y, m, d = _civil_from_days(days)
-        proxy_y = 2400 + (y - 2400) % 400 if y > 9999 else 400 + y % 400
+        # only the first/last hours of years 1/9999 can land here besides
+        # out-of-range years (astimezone under/overflows at datetime.min/
+        # max with a UTC-/+ zone).  The near-max corner must take the
+        # extrapolated-modern-rule proxy (chrono-tz's last rule); the
+        # near-min corner and the far past take the LMT-era proxy
+        # (chrono-tz's first timespan).
+        proxy_y = 2400 + (y - 2400) % 400 if y >= 9999 else 400 + y % 400
         proxy_us = _days_from_civil(proxy_y, m, d) * _US_PER_DAY + rem
         off = _dt_from_us(proxy_us).astimezone(tz).utcoffset()
         return int(off.total_seconds() * 1_000_000)

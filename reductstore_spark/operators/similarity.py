@@ -38,7 +38,12 @@ def cosine_pd(a: Column, b: Column) -> Column:
     but a bucketed near-dup join computes O(sum bucket^2) cosines and
     the per-element interpretation dominated the sf1 soak (dedup
     embedding 95 s; numpy batches the same dot products in
-    milliseconds).  Same float64 math, same rounding behavior."""
+    milliseconds).  Same float64 math, same rounding behavior, same null
+    semantics as the Column kernel: a NULL embedding or a zero-norm
+    vector yields NULL (the Column path's non-ANSI 0/0 division), not
+    NaN.  Precondition: non-null vectors in one batch share a fixed
+    length (embedding tables are fixed-dim; ragged batches are the one
+    divergence left undefined)."""
     return _cosine_pd_udf()(a, b)
 
 
@@ -51,11 +56,24 @@ def _cosine_pd_udf():
         import pandas as pd
         if len(xs) == 0:
             return pd.Series([], dtype="float64")
+        bad = xs.isna().to_numpy() | ys.isna().to_numpy()
+        if bad.any():
+            probe = next(v for v, m in zip(xs, bad) if not m) \
+                if not bad.all() else []
+            zero = [0.0] * len(probe)
+            xs = xs.where(~bad, other=None).map(
+                lambda v: zero if v is None else v)
+            ys = ys.where(~bad, other=None).map(
+                lambda v: zero if v is None else v)
         ax = np.asarray(xs.tolist(), dtype=np.float64)
         ay = np.asarray(ys.tolist(), dtype=np.float64)
         num = (ax * ay).sum(axis=1)
         den = np.linalg.norm(ax, axis=1) * np.linalg.norm(ay, axis=1)
-        return pd.Series(num / den)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        res = pd.Series(out).astype("Float64")
+        res[bad | (den == 0)] = pd.NA
+        return res
 
     _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series,
                             "return": pd.Series}

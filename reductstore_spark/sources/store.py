@@ -59,16 +59,29 @@ class RecordStore:
     def _raw(self) -> DataFrame:
         """The on-disk table incl. internal columns; a store whose every
         partition was removed (or that was never written) reads as an
-        empty frame rather than UNABLE_TO_INFER_SCHEMA."""
-        try:
-            return self.spark.read.parquet(self.root)
-        except Exception:
-            from pyspark.sql.types import LongType, StructField, StructType
-            schema = StructType(
-                list(RECORDS_SCHEMA.fields)
-                + [StructField("__seq", LongType()),
-                   StructField("ts_day", LongType())])
-            return self.spark.createDataFrame([], schema)
+        empty frame rather than UNABLE_TO_INFER_SCHEMA.
+
+        Only the genuinely-empty case maps to an empty frame: if
+        partition dirs exist, a read failure (transient FS error, corrupt
+        footer) propagates — remove_matched() derives the survivor set
+        from this frame, and an error read as 'empty store' would turn
+        into silent partition deletion."""
+        from pyspark.errors import AnalysisException
+        if self._exists():
+            try:
+                return self.spark.read.parquet(self.root)
+            except AnalysisException as err:
+                # partition dirs present but no data files (a remove that
+                # emptied every partition): that alone reads as empty
+                cls = err.getCondition() or ""
+                if cls not in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
+                    raise
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType(
+            list(RECORDS_SCHEMA.fields)
+            + [StructField("__seq", LongType()),
+               StructField("ts_day", LongType())])
+        return self.spark.createDataFrame([], schema)
 
     # -- write path ------------------------------------------------------
     def write(self, df: DataFrame, compression: str = None) -> None:

@@ -48,17 +48,13 @@ def continuous_query(
     )
     df = reader.drop("__seq", "ts_day")
     if entries is not None:
-        # resolve the glob against a static listing at stream start; new
-        # entries appearing later need a stream restart (same as the
-        # reference, which resolves entries when the query is registered)
-        from ..operators.glob import filter_entries
-        try:
-            names = [r["entry"]
-                     for r in spark.read.parquet(store_root)
-                     .select("entry").distinct().collect()]
-        except Exception:
-            names = []
-        df = df.where(F.col("entry").isin(filter_entries(names, list(entries))))
+        # compile the glob to a JVM predicate (same as the batch path):
+        # no driver round-trip at registration, and entries that first
+        # appear AFTER the stream starts are matched as their files
+        # arrive — strictly better than the reference, which resolves
+        # the entry list once when the query is registered
+        from ..operators.glob import patterns_to_column
+        df = df.where(patterns_to_column(list(entries), F.col("entry")))
     else:
         df = df.where(~F.col("entry").rlike(r"(^|/)\$"))
     if start is not None:

@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _orderable(dt) -> bool:
+    """True iff a column of this type can appear in an orderBy: no
+    MapType anywhere in the tree (Spark's TypeUtils.checkForOrderingExpr
+    rejects nested maps too)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def deduped_ingest(
     records: DataFrame,
     watermark_delay: str = "1 hour",
@@ -51,14 +66,15 @@ def deduped_ingest(
         if "__seq" in records.columns:
             order = [F.col("__seq").asc()]
         else:
-            # maps are not orderable in Spark; sort on every orderable
-            # column (duplicates differing ONLY in a map column remain
-            # ambiguous — document over pretend-determinism)
-            from pyspark.sql.types import MapType
+            # maps are not orderable in Spark — anywhere in the type, not
+            # just top-level (array<map>, struct with a map field all
+            # fail analysis); sort on every orderable column (duplicates
+            # differing ONLY in an unorderable column remain ambiguous —
+            # document over pretend-determinism)
             order = [F.col(f.name).asc_nulls_first()
                      for f in records.schema.fields
                      if f.name not in ("entry", event_time_col)
-                     and not isinstance(f.dataType, MapType)]
+                     and _orderable(f.dataType)]
         if not order:
             out = out.dropDuplicates(["entry", event_time_col])
         else:

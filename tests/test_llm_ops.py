@@ -312,3 +312,27 @@ def test_cosine_pd_matches_column_cosine(spark):
         F.round(cosine_pd(F.col("a"), F.col("b")), 6).alias("np")).collect()
     for r in got:
         assert r["jvm"] == r["np"], (r["jvm"], r["np"])
+
+
+def test_cosine_pd_degenerate_inputs_match_column_kernel(spark):
+    """NULL embeddings and zero-norm vectors yield NULL from BOTH kernels
+    (the Column path's non-ANSI 0/0 division), so callers can swap one
+    for the other without changing null semantics (ADVICE r3)."""
+    from reductstore_spark.operators.similarity import cosine, cosine_pd
+
+    rows = [([1.0, 2.0], [2.0, 1.0]),
+            ([0.0, 0.0], [1.0, 1.0]),   # zero-norm
+            (None, [1.0, 1.0]),
+            ([1.0, 1.0], None),
+            (None, None)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("jvm"),
+                    cosine_pd(F.col("a"), F.col("b")).alias("np")).collect()
+    for r in got:
+        assert r["jvm"] == r["np"], (r["jvm"], r["np"])
+    assert [r["np"] for r in got[1:]] == [None] * 4
+    # all-null batch (no probe vector available)
+    df2 = spark.createDataFrame([(None, None)] * 3,
+                                "a array<double>, b array<double>")
+    assert [r["x"] for r in df2.select(
+        cosine_pd(F.col("a"), F.col("b")).alias("x")).collect()] == [None] * 3

@@ -75,6 +75,36 @@ def test_remove_query(spark, store):
     assert store.read().count() == 5
 
 
+def test_corrupt_store_read_raises_not_silent_delete(spark, store):
+    """A read failure must NOT be treated as 'empty store': remove-query
+    derives its survivor set from _raw(), so a corrupt footer read as
+    empty would delete every affected partition.  An emptied-but-present
+    store (dirs, no data files) still reads as an empty frame."""
+    import glob
+    import os
+
+    store.write(spark.createDataFrame(mk_rows("e1", 4), SCHEMA))
+    files = glob.glob(store.root + "/**/*.parquet", recursive=True)
+    assert files
+    saved = {f: open(f, "rb").read() for f in files}
+    for f in files:
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        store._raw().count()
+    with pytest.raises(Exception):
+        QueryEngine().remove_query(store, store.read(), when=True)
+    # restore and verify nothing was deleted by the failed remove
+    for f, data in saved.items():
+        with open(f, "wb") as fh:
+            fh.write(data)
+    assert store.read().count() == 4
+    # emptied-partition-dirs store: empty frame, no error
+    for f in files:
+        os.remove(f)
+    assert store._raw().count() == 0
+
+
 def test_update_labels(spark, store):
     store.write(spark.createDataFrame(mk_rows("e1", 4), SCHEMA))
     updates = spark.createDataFrame(

@@ -68,6 +68,35 @@ def test_continuous_query_restarts_from_checkpoint(spark, tmp_path):
     assert got2 == {10_000_000, 11_000_000, 12_000_000}  # v=10,11,12 all >= 2
 
 
+def test_continuous_query_glob_sees_post_start_entries(spark, tmp_path):
+    """The entry glob compiles to a JVM predicate, so an entry that first
+    appears AFTER the stream is registered is picked up by the SAME
+    checkpointed stream — no restart, no driver-side entry listing (the
+    reference resolves entries once at registration; the predicate form
+    is strictly better)."""
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, root)
+    store.write(spark.createDataFrame(mk_rows("cam1/front", 3), SCHEMA))
+
+    stream = continuous_query(spark, root, entries=["cam*", "!cam2/**"])
+    got1 = drain(spark, stream, out, cp)
+    assert got1 == {0, 1_000_000, 2_000_000}
+
+    # new entries appear after the stream started: one matching the glob,
+    # one matched by the exclusion, one not matching at all
+    store.write(spark.createDataFrame(
+        mk_rows("cam9/front", 2, base=10_000_000)
+        + mk_rows("cam2/front", 2, base=20_000_000)
+        + mk_rows("logs", 2, base=30_000_000), SCHEMA))
+    stream2 = continuous_query(spark, root, entries=["cam*", "!cam2/**"])
+    got2 = drain(spark, stream2, out, cp)
+    assert got2 == {10_000_000, 11_000_000}
+    ent = {r["entry"] for r in spark.read.parquet(out).select("entry").collect()}
+    assert ent == {"cam1/front", "cam9/front"}
+
+
 def test_replication_entry_glob_prefix_and_when(spark, tmp_path):
     src_root = str(tmp_path / "src")
     dst_root = str(tmp_path / "dst")
@@ -253,6 +282,27 @@ def test_deduped_ingest_batch_mode_equivalent(spark):
                  for r in deduped_ingest(df).select("entry", "ts").collect())
     assert got == [("e1", 0), ("e1", 1_000_000)]
     assert deduped_ingest(df).columns == df.columns
+
+
+def test_deduped_ingest_batch_mode_nested_map_columns(spark):
+    """Unorderable types anywhere in a column's type tree (array<map>,
+    struct containing a map) must be excluded from the deterministic
+    ordering, not just top-level maps — a nested map in the orderBy
+    fails at analysis time (ADVICE r3)."""
+    from reductstore_spark.streaming.ingest import deduped_ingest
+
+    schema = ("entry string, ts long, v long, am array<map<string,string>>, "
+              "sm struct<a: long, m: map<string,string>>")
+    df = spark.createDataFrame(
+        [("e1", 0, 2, [{"x": "1"}], (1, {"y": "2"})),
+         ("e1", 0, 1, [{"x": "9"}], (2, {"y": "9"})),
+         ("e1", 1, 5, [], (0, {}))], schema)
+    got = deduped_ingest(df)
+    rows = sorted((r["entry"], r["ts"], r["v"])
+                  for r in got.select("entry", "ts", "v").collect())
+    # v is the only orderable non-key column -> deterministic winner v=1
+    assert rows == [("e1", 0, 1), ("e1", 1, 5)]
+    assert got.columns == df.columns
 
 
 def test_system_source_replication_excludes_own_diagnostics(spark, tmp_path):

@@ -249,3 +249,28 @@ def test_add_display_is_exact_at_i64_edge():
         "-8334632851199999999"]})
     labels = {"c": "1", "b": "-8334632851200000000"}
     assert V.as_bool(Evaluator(node).apply(Context(0, labels)))
+
+
+def test_tz_offset_proxy_edges():
+    """The astimezone-overflow proxy picks the rule era by which end of
+    the datetime range overflowed: the last hours of year 9999 under a
+    UTC+ zone take the extrapolated modern rule (chrono-tz's last rule),
+    the first hours of year 1 under a UTC- zone and the far past take
+    the LMT-era first timespan (ADVICE r3)."""
+    from zoneinfo import ZoneInfo
+
+    from reductstore_spark.condition.interpreter import _tz_offset_us
+
+    ts_max = 253402300799999999   # 9999-12-31T23:59:59.999999Z
+    y1 = -62135596800000000       # 0001-01-01T00:00:00Z
+    tokyo = ZoneInfo("Asia/Tokyo")
+    ny = ZoneInfo("America/New_York")
+    # near-max overflow: modern +09:00, NOT Tokyo's LMT +09:18:59
+    assert _tz_offset_us(tokyo, ts_max) == 9 * 3600 * 1_000_000
+    # near-min underflow: New York LMT -04:56:02, NOT the modern rule
+    assert _tz_offset_us(ny, y1) == -17762 * 1_000_000
+    # near-max under a UTC- zone (no overflow): December -> EST
+    assert _tz_offset_us(ny, ts_max) == -5 * 3600 * 1_000_000
+    # far past stays LMT
+    assert _tz_offset_us(ny, y1 - 400 * 146097 // 400 * 86_400_000_000) \
+        == -17762 * 1_000_000
