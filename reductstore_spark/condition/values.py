@@ -465,7 +465,10 @@ def parse_duration_us(s: str) -> int:
             v = _parse_i64(num)
         except ValueError:
             raise ValueError(f"Invalid duration value: {part}")
-        total += v * _DUR_UNITS[unit]
+        # the reference's `value * unit` and `total += part` are release
+        # i64 ops (core/duration.rs:17-44): out-of-range literals like
+        # '106751991168d' wrap rather than widen
+        total = _wrap_i64(total + _wrap_i64(v * _DUR_UNITS[unit]))
     return total
 
 

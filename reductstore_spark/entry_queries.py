@@ -3896,6 +3896,115 @@ WHERE NOT (epoch_us(ts) < now_us - 10 * 86400000000 AND value > 100)
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, public): score every
+    document by the log-likelihood ratio of the English-docs TARGET
+    hashed-unigram distribution vs the RAW corpus distribution, then
+    keep the 5 most-target-like docs per source — the data-selection
+    pass a pretraining pipeline runs before sampling.
+
+    Scale shape (operators/importance.py): the feature space is a fixed
+    256-bucket md5 prefix, so both distributions are 256-row map-side-
+    combined aggregates; per-bucket ln-ratio scores are integer-scaled
+    i64 computed once, and the per-doc weight is an exact integer sum
+    via a 256-row broadcast join — no float-summation nondeterminism,
+    no corpus shuffle beyond one (doc, bucket) partial aggregate."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    from .operators.importance import dsir_log_weights
+    docs = _t(spark, sf_dir, "documents")
+    wts = dsir_log_weights(docs, normalized_words(F.col("text")),
+                           F.col("lang") == "en")
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("weight").desc(), F.col("doc_id")))
+    return (docs.select("doc_id", "source").join(wts, "doc_id")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= 5)
+            .select("doc_id", "source", "weight", "rk"))
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH w AS (
+  SELECT doc_id, source, (lang = 'en') AS tgt,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ')) AS w
+  FROM documents
+), b AS (SELECT doc_id, source, tgt, substr(md5(w), 1, 2) AS bucket FROM w),
+per_doc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+raw AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+tgtc AS (SELECT bucket, count(*) AS ct FROM b WHERE tgt GROUP BY 1),
+tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
+               (SELECT sum(ct) FROM tgtc) AS tt),
+scores AS (
+  SELECT r.bucket,
+    CAST(round((ln((COALESCE(t.ct, 0) + 1) / CAST(tot.tt + 256 AS DOUBLE))
+              - ln((r.cr + 1) / CAST(tot.tr + 256 AS DOUBLE)))
+               * 1000000, 0) AS BIGINT) AS s
+  FROM raw r LEFT JOIN tgtc t ON r.bucket = t.bucket, tot
+)
+SELECT doc_id, source, weight, rk FROM (
+  SELECT d.doc_id, d.source, wt.weight,
+    row_number() OVER (PARTITION BY d.source
+                       ORDER BY wt.weight DESC, d.doc_id) AS rk
+  FROM documents d JOIN (
+    SELECT p.doc_id, CAST(sum(p.c * s.s) AS BIGINT) AS weight
+    FROM per_doc p JOIN scores s ON p.bucket = s.bucket GROUP BY 1
+  ) wt ON wt.doc_id = d.doc_id
+) WHERE rk <= 5
+"""
+
+
+def q_drift_report(spark, sf_dir):
+    """Corpus mix-shift monitor: per-source Jensen-Shannon divergence
+    against the whole-corpus hashed-unigram distribution — the standard
+    'did this slice drift from the mix' check over a training corpus.
+
+    Scale shape (operators/importance.py js_drift_scores): distributions
+    live on the fixed 256-bucket space (map-side-combined aggregates,
+    |slices| x 256 dense grid via tiny broadcasts), per-bucket JS terms
+    are integer-scaled once, and the cross-bucket reduction is an exact
+    i64 sum."""
+    prep(spark)
+    from .operators.dedup import normalized_words
+    from .operators.importance import js_drift_scores
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(normalized_words(F.col("text"))).alias("w"))
+    return js_drift_scores(words, "source")
+
+
+SQL_DRIFT_REPORT = r"""
+WITH w AS (
+  SELECT source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ')) AS w
+  FROM documents
+), b AS (SELECT source, substr(md5(w), 1, 2) AS bucket FROM w),
+per AS (SELECT source, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+corpus AS (SELECT bucket, count(*) AS cq FROM b GROUP BY 1),
+tots AS (SELECT source, sum(c) AS tp FROM per GROUP BY 1),
+tq AS (SELECT sum(cq) AS tq FROM corpus),
+grid AS (
+  SELECT t.source, c.bucket, t.tp, c.cq, p.c, tq.tq
+  FROM tots t CROSS JOIN corpus c
+  LEFT JOIN per p ON p.source = t.source AND p.bucket = c.bucket, tq
+)
+SELECT source, CAST(sum(t) AS BIGINT) AS js_e6 FROM (
+  SELECT source,
+    CAST(round((p * ln(p / m) + q * ln(q / m)) / 2 * 1000000, 0)
+         AS BIGINT) AS t
+  FROM (
+    SELECT source,
+      (COALESCE(c, 0) + 1) / CAST(tp + 256 AS DOUBLE) AS p,
+      (cq + 1) / CAST(tq + 256 AS DOUBLE) AS q,
+      ((COALESCE(c, 0) + 1) / CAST(tp + 256 AS DOUBLE)
+       + (cq + 1) / CAST(tq + 256 AS DOUBLE)) / 2 AS m
+    FROM grid
+  )
+) GROUP BY source
+"""
+
+
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
@@ -3929,6 +4038,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "shingle_dup_profile": (q_shingle_dup_profile, SQL_SHINGLE_DUP_PROFILE),
+    # new in round 4: data-selection + drift monitoring
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "drift_report": (q_drift_report, SQL_DRIFT_REPORT),
     # tier 2: stream/store/dedup gate entries, never driver-verified
     "stream_rollup": (q_stream_rollup, SQL_STREAM_ROLLUP),
     "stream_replication": (q_stream_replication, SQL_STREAM_REPLICATION),
@@ -4061,10 +4173,38 @@ _R4_WINDOW = [
     "dedup_embedding", "curation_report", "ngram_novelty",
     "shingle_dup_profile", "sim_cosine_topk", "join_salted", "sessionize",
     "events_daily", "multimodal_meta", "multimodal_frames",
-    "decontaminate", "sample_split",
+    # new oracle-gated entries this round (replacing two lower-risk
+    # r3-green text rows, which rotate back in later)
+    "dsir_weights", "drift_report",
 ]
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
 assert set(_R4_WINDOW) <= QUERIES.keys()
 QUERIES = {k: QUERIES[k]
            for k in [*_R4_WINDOW,
                      *(n for n in QUERIES if n not in set(_R4_WINDOW))]}
+
+
+# The BENCH_EXCLUDE gate entries each materialize a store and run a real
+# stream per invocation.  Within one session the result for a given
+# sf_dir is deterministic, so a harness that invokes the same entry more
+# than once (row pass + hash pass, multi-check sweeps) reuses the first
+# run's lazy sink read instead of re-materializing — the scratch dirs
+# are session-scoped, so the cached frame stays readable.
+_GATE_MEMO: dict = {}
+
+
+def _memo_gate(name, fn):
+    def wrap(spark, sf_dir):
+        # the session object itself keys the cache (not id(): a stopped
+        # session's id can be reused after GC)
+        key = (name, sf_dir, spark)
+        if key not in _GATE_MEMO:
+            _GATE_MEMO[key] = fn(spark, sf_dir)
+        return _GATE_MEMO[key]
+    wrap.__name__ = fn.__name__
+    wrap.__doc__ = fn.__doc__
+    return wrap
+
+
+QUERIES = {k: (_memo_gate(k, fn) if k in BENCH_EXCLUDE else fn, sql)
+           for k, (fn, sql) in QUERIES.items()}

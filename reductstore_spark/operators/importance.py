@@ -1,0 +1,113 @@
+"""Data-selection importance weights and corpus drift — the
+"which data should we train on / did our mix shift" operators of a
+large-scale training-data pipeline.
+
+`dsir_log_weights` follows the hashed-n-gram importance-resampling recipe
+of DSIR (Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023, public): documents are scored by the
+log-likelihood ratio of a TARGET feature distribution vs the RAW corpus
+distribution over a fixed hashed feature space.  `js_drift_scores`
+computes the per-slice Jensen-Shannon divergence against the corpus
+distribution over the same feature space — the standard mix-shift
+monitor.
+
+Scale design (100 TB):
+- the feature space is FIXED (256 md5-prefix buckets): both
+  distributions are 256-row aggregates with map-side combine, and the
+  per-document scoring join is a broadcast of 256 rows — no shuffle of
+  the corpus beyond one (doc, bucket) partial aggregate;
+- every per-bucket score is computed ONCE from exact integer counts and
+  scaled to an i64 (round(1e6 * ln ratio)), so the per-document weight
+  is an INTEGER sum: associative, partition-order-independent, and
+  bit-identical across engines — no float-summation nondeterminism in
+  the result;
+- md5-prefix bucketing keeps the features engine-portable (the same
+  trick as operators/dedup.py minhash), so a DuckDB oracle can replay
+  the exact pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 256    # two md5 hex chars
+SCALE = 1_000_000  # i64 fixed-point scale for per-bucket ln scores
+
+
+def feature_bucket(word: Column) -> Column:
+    """Portable fixed-space feature: the first two hex chars of md5."""
+    return F.substring(F.md5(word), 1, 2)
+
+
+def _bucket_counts(words: DataFrame, group_cols=()) -> DataFrame:
+    """(group_cols..., bucket, c) counts over a (..., w) word frame."""
+    return (words.withColumn("bucket", feature_bucket(F.col("w")))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_log_weights(docs: DataFrame, words: Column,
+                     target: Column) -> DataFrame:
+    """Per-document DSIR importance weights.
+
+    ``words`` is an array<string> Column over ``docs``; ``target`` is a
+    boolean Column marking the target-domain documents.  Returns
+    (doc_id, weight) where weight = sum over word occurrences of
+    round(SCALE * ln(p_target(bucket) / p_raw(bucket))), with add-one
+    smoothing over the N_BUCKETS feature space.  Positive = looks like
+    the target domain.
+    """
+    w = docs.select("doc_id", target.alias("tgt"),
+                    F.explode(words).alias("w"))
+    per_doc = (w.withColumn("bucket", feature_bucket(F.col("w")))
+               .groupBy("doc_id", "bucket")
+               .agg(F.count(F.lit(1)).alias("c")))
+    raw = _bucket_counts(w).withColumnRenamed("c", "cr")
+    tgt = (_bucket_counts(w.where(F.col("tgt")))
+           .withColumnRenamed("c", "ct"))
+    # 1-row totals, broadcast into the 256-row score table
+    totals = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt")))
+    scores = (raw.join(tgt, "bucket", "full")
+              .crossJoin(F.broadcast(totals))
+              .select(
+                  "bucket",
+                  F.round(
+                      (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                             / (F.col("tt") + N_BUCKETS))
+                       - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                               / (F.col("tr") + N_BUCKETS))) * SCALE, 0)
+                  .cast("long").alias("s")))
+    return (per_doc.join(F.broadcast(scores), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("s")).alias("weight")))
+
+
+def js_drift_scores(words: DataFrame, slice_col: str = "source") -> DataFrame:
+    """Per-slice Jensen-Shannon divergence (nats, scaled by SCALE to an
+    i64 sum of per-bucket terms) between the slice's hashed-feature
+    distribution and the whole-corpus distribution.
+
+    ``words`` is a (slice_col, w) frame.  Smoothing is add-one over the
+    fixed bucket space, so every p/q/m term is strictly positive and the
+    per-bucket term is a single deterministic double expression; the
+    cross-bucket reduction is an integer sum.
+    """
+    per = _bucket_counts(words, (slice_col,))
+    corpus = _bucket_counts(words).withColumnRenamed("c", "cq")
+    tot_per = (per.groupBy(slice_col).agg(F.sum("c").alias("tp")))
+    tot_q = corpus.agg(F.sum("cq").alias("tq"))
+    # dense (slice x bucket) grid so zero-count buckets still contribute
+    # their smoothed mass (the grid is |slices| x 256 — tiny)
+    grid = (tot_per.crossJoin(F.broadcast(corpus))
+            .join(per, [slice_col, "bucket"], "left")
+            .crossJoin(F.broadcast(tot_q)))
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("tp") + N_BUCKETS)
+    q = (F.col("cq") + 1) / (F.col("tq") + N_BUCKETS)
+    m = (p + q) / 2
+    term = F.round((p * F.log(p / m) + q * F.log(q / m)) / 2 * SCALE, 0) \
+        .cast("long")
+    return (grid.select(slice_col, term.alias("t"))
+            .groupBy(slice_col)
+            .agg(F.sum("t").alias("js_e6")))

@@ -30,7 +30,16 @@ VALUES = ["1", "-7", "3.5", "0", "true", "false", "abc", "", "1e2",
           str(V.TS_US_MAX), str(V.TS_US_MAX + 1),
           # i64 limits and one-past (one-past fails i64 parse, falls to f64)
           "9223372036854775807", "-9223372036854775808",
-          "9223372036854775808", "-9223372036854775809"]
+          "9223372036854775808", "-9223372036854775809",
+          # r4 hostile pool: Rust float-parse edge spellings ('5.'/'.5'
+          # parse, '1_000'/'0x10' stay String), overflow-to-inf, the
+          # f64 extremes, leading zeros, and -1 (the $div/$rem i64::MIN
+          # partner)
+          "5.", ".5", "+.5", "-.5", "1e309", "-1e309", "5e-324",
+          "1.7976931348623157e308", "2.2250738585072014e-308",
+          "00042", "007.5", "0x10", "1_000", "-1",
+          # duration spellings at the u64-µs edge (core/duration.rs)
+          "1h30m", "0s", "106751991166d", "106751991167d"]
 
 
 def gen_rows(rng, n):
@@ -52,13 +61,16 @@ def gen_operand(rng, depth):
         if kind < 0.45:
             return "&" + rng.choice(LABELS)
         if kind < 0.6:
-            return rng.choice([1, -3, 0, 2.5, 0.0, 10])
+            return rng.choice([1, -3, 0, 2.5, 0.0, 10, -1,
+                               -9223372036854775808, 9223372036854775807])
         if kind < 0.7:
             return rng.choice([True, False])
         # incl. duration literals (parse to Duration constants) and the
-        # "$$" escape for a literal $-string
+        # "$$" escape for a literal $-string; r4 adds compound and
+        # u64-µs-edge duration spellings plus Rust float-parse edges
         return rng.choice(["abc", "1", "true", "", "xyz", "1h", "300ms",
-                           "$$esc"])
+                           "$$esc", "1h30m", "0s", "106751991166d",
+                           "5.", ".5", "1e309"])
     return gen_cond(rng, depth - 1)
 
 

@@ -17,6 +17,7 @@ PY_OK = {
     "ctx_padding", "each_n", "dedup_components", "ann_ivf",
     "store_roundtrip", "store_remove", "update_labels",
     "dedup_embedding",  # Arrow-vectorized pair cosine (cosine_pd)
+    "ctx_limit",  # ctx+$limit buffer-flush interplay: slim interpreter
 }
 # scalar (1-row / tiny-broadcast) cross joins
 NLJ_OK = {
@@ -25,6 +26,7 @@ NLJ_OK = {
     "tfidf_topk", "sim_cosine_topk", "ann_lsh", "curriculum_mix",
     "doc_rarity", "embedding_quantize",
     "curation_report",  # 1-row corpus-total broadcast
+    "dsir_weights", "drift_report",  # 1-row totals + 256-row score grid
 }
 
 NAMES = sorted(n for n in QUERIES if n not in BENCH_EXCLUDE)

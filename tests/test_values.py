@@ -274,3 +274,18 @@ def test_tz_offset_proxy_edges():
     # far past stays LMT
     assert _tz_offset_us(ny, y1 - 400 * 146097 // 400 * 86_400_000_000) \
         == -17762 * 1_000_000
+
+
+def test_duration_parse_wraps_like_release_i64():
+    """core/duration.rs computes `value * unit` and `total += part` in
+    release i64: an out-of-range literal wraps rather than widening
+    (Python bigint would otherwise keep growing)."""
+    max_days = (2**63 - 1) // 86_400_000_000  # 106751991
+    assert parse_duration_us(f"{max_days}d") == max_days * 86_400_000_000
+    over = (max_days + 1) * 86_400_000_000
+    wrapped = (over + 2**63) % 2**64 - 2**63
+    assert parse_duration_us(f"{max_days + 1}d") == wrapped
+    assert parse_duration_us(f"{max_days + 1}d") < 0
+    # the multi-part sum wraps too
+    two = (2 * (max_days * 86_400_000_000) + 2**63) % 2**64 - 2**63
+    assert parse_duration_us(f"{max_days}d {max_days}d") == two
