@@ -451,11 +451,10 @@ class ColumnCompiler:
             "$lt": (a["s"] < b["s"], fa < fb, ia < ib),
             "$lte": (a["s"] <= b["s"], fa <= fb, ia <= ib),
         }[name]
-        mixed_err = F.when(
-            (any_str & ~both_str) | nan,
-            F.lit("Cannot compare string with non-string value"),
-        )
-        e = F.coalesce(a["e"], b["e"], mixed_err)
+        # unordered pairs (string-vs-non-string, NaN): Rust PartialOrd
+        # partial_cmp None -> Bool(false), never an error (gt.rs
+        # Ok(Bool(v1 > v2)); round-4 correction)
+        e = F.coalesce(a["e"], b["e"])
         res = (
             F.when(both_str, cmps[0])
             .when(any_str | nan, F.lit(False))
@@ -527,11 +526,13 @@ class ColumnCompiler:
             F.when(b["t"] == TSTR, F.lit("Cannot divide by string")),
             F.when(zero, F.lit("Cannot divide by zero")),
         )
-        # i64 division truncates toward zero: |a| div |b| via exact decimal, re-signed
-        q = F.floor(F.abs(ia.cast("decimal(38,0)")) / F.abs(ib.cast("decimal(38,0)"))).cast("long")
-        signed = F.when((ia < 0) != (ib < 0), -q).otherwise(q)
+        # exact i64 division truncating toward zero (Spark `div`, like the
+        # flat tier).  The old decimal route rounded |a|/|b| at reduced
+        # scale for near-2^63 magnitudes (MAX div MIN came out 1, not 0 —
+        # fuzz-found seed 2014)
+        q = F.call_function("div", ia, ib)
         return F.when(any_str | zero, _mk(F.lit(TBOOL), e=e)).otherwise(
-            _mk(F.lit(TINT), i=signed, e=e)
+            _mk(F.lit(TINT), i=q, e=e)
         )
 
     def _rem(self, a: Column, b: Column) -> Column:

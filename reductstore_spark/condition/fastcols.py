@@ -651,19 +651,18 @@ class FlatCompiler:
         base_err = _err(a) | _err(b)
         op = {"$gt": _op.gt, "$gte": _op.ge, "$lt": _op.lt, "$lte": _op.le}[name]
         if a.const is not None and b.const is not None:
-            try:
-                c = V.val_cmp(a.const, b.const)
-            except V.CondError as exc:
-                out = FV(num=F.lit(0.0), err=F.lit(True), numeric_only=True)
-                if self.strict:
-                    out.emsg = F.lit(str(exc))
-                return out
-            res = {"$gt": c > 0, "$gte": c >= 0, "$lt": c < 0, "$lte": c <= 0}[name]
+            c = V.val_cmp(a.const, b.const)
+            res = (c is not None and
+                   {"$gt": c > 0, "$gte": c >= 0,
+                    "$lt": c < 0, "$lte": c <= 0}[name]) if c is not None \
+                else False
             return FV(num=F.lit(res).cast("double"), err=base_err, numeric_only=True)
 
         sa, sb = _is_str(a), _is_str(b)
-        mixed = sa != sb  # string vs non-string: unordered -> error
-        err = base_err | F.coalesce(mixed, F.lit(False))
+        # string vs non-string: Rust PartialOrd partial_cmp None -> FALSE
+        # (gt.rs Ok(Bool(v1 > v2))), never an error
+        mixed = sa != sb
+        err = base_err
         na, nb = _num_or_null(a), _num_or_null(b)
         if _both_small(a, b):
             num_cmp = op(na, nb)
@@ -673,7 +672,6 @@ class FlatCompiler:
             # promotes both to f64 (_numeric_pair)
             num_cmp = (F.when(la.isNotNull() & lb.isNotNull(), op(la, lb))
                        .otherwise(op(na, nb)))
-        cmp_msg = "Cannot compare string with non-string value"
         if (a.const is not None and a.const.kind == V.STRING) or \
            (b.const is not None and b.const.kind == V.STRING):
             stra = a.raw if a.const is None else F.lit(a.const.val)
@@ -684,17 +682,20 @@ class FlatCompiler:
             val = F.when(~F.coalesce(mixed, F.lit(False)), num_cmp)
         else:
             val = F.when(sa & sb, op(a.raw, b.raw)).when(~mixed, num_cmp)
-        # NaN: reference partial_cmp -> error
+        # NaN: partial_cmp None -> FALSE.  Spark would order NaN greater
+        # than everything, so mask it out of num_cmp — including NaN
+        # CONSTANTS, which arithmetic const-folding can produce
+        # ($rem[x, 0.0]; fuzz-found seed 2009)
         nan = F.lit(False)
         for x, n in ((a, na), (b, nb)):
             if x.const is None:
                 nan = nan | F.coalesce(F.isnan(n), F.lit(False))
+            elif x.const.kind == V.FLOAT and x.const.val != x.const.val:
+                nan = F.lit(True)
         out = FV(num=F.coalesce(val & ~nan, F.lit(False)).cast("double"),
-                 err=err | nan, numeric_only=True, bound=1,
+                 err=err, numeric_only=True, bound=1,
                  skind="boolean")
-        out.emsg = self._m(a.emsg, b.emsg,
-                           self._mw(F.coalesce(mixed, F.lit(False)) | nan,
-                                    cmp_msg))
+        out.emsg = self._m(a.emsg, b.emsg)
         return out
 
     def _in(self, name: str, node: Op) -> FV:

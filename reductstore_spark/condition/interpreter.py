@@ -165,14 +165,20 @@ class Evaluator:
             return V.vbool(V.val_eq(ch[0].apply(ctx), ch[1].apply(ctx)))
         if name == "$ne":
             return V.vbool(not V.val_eq(ch[0].apply(ctx), ch[1].apply(ctx)))
+        # orderings are Rust PartialOrd: unordered (string-vs-non-string,
+        # NaN) -> partial_cmp None -> FALSE, not an error (gt.rs et al.)
         if name == "$gt":
-            return V.vbool(V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx)) > 0)
+            c = V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx))
+            return V.vbool(c is not None and c > 0)
         if name == "$gte":
-            return V.vbool(V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx)) >= 0)
+            c = V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx))
+            return V.vbool(c is not None and c >= 0)
         if name == "$lt":
-            return V.vbool(V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx)) < 0)
+            c = V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx))
+            return V.vbool(c is not None and c < 0)
         if name == "$lte":
-            return V.vbool(V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx)) <= 0)
+            c = V.val_cmp(ch[0].apply(ctx), ch[1].apply(ctx))
+            return V.vbool(c is not None and c <= 0)
 
         # arithmetic
         if name == "$add":

@@ -15,7 +15,7 @@ compiler (stateless fast path) mirror it.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Union
+from typing import Optional, Union
 
 # value kinds
 BOOL = 0
@@ -289,18 +289,22 @@ def val_eq(a: Value, b: Value) -> bool:
     return x == y
 
 
-def val_cmp(a: Value, b: Value) -> int:
-    """Returns -1/0/1; raises CondError for unordered pairs
-    (string vs non-string -> partial_cmp None -> evaluation error)."""
+def val_cmp(a: Value, b: Value) -> Optional[int]:
+    """Returns -1/0/1, or None for unordered pairs.
+
+    The reference's comparison operators are Rust PartialOrd:
+    `Ok(Value::Bool(value_1 > value_2))` (operators/comparison/gt.rs),
+    where partial_cmp yields None for string-vs-non-string (cmp.rs
+    String arms) and for NaN (f64 PartialOrd) — so $gt/$gte/$lt/$lte on
+    an unordered pair evaluate to FALSE, never to an error (round-4
+    correction: rounds 1-3 wrongly raised here)."""
     if a.kind == STRING or b.kind == STRING:
         if a.kind == STRING and b.kind == STRING:
             return (a.val > b.val) - (a.val < b.val)
-        raise CondError(
-            f"Cannot compare string with non-string value"
-        )
+        return None  # partial_cmp None
     x, y = _numeric_pair(a, b)
     if x != x or y != y:  # NaN: partial_cmp None
-        raise CondError("Cannot compare NaN")
+        return None
     return (x > y) - (x < y)
 
 

@@ -625,6 +625,46 @@ SELECT entry, ts FROM (
 """
 
 
+def q_ctx_after_limit(spark, sf_dir):
+    """#ctx_after composed with $limit — the after-latch/Interrupt
+    interplay: after the Nth match, prefix-FALSE records keep emitting
+    as after-context (ctx_after.rs:52-70 latch decrements on every
+    check), but the next prefix-TRUE record ticks the limit counter past
+    N and Interrupts BEFORE the latch check runs (when.rs:80-99), ending
+    the scan — so each after-interval is truncated at the Interrupt row.
+    The oracle models exactly that: union of 2-after intervals around
+    the first 5 matches, restricted to rows strictly before the 6th
+    prefix-true row."""
+    when = {"#ctx_after": 2,
+            "$and": [{"&value": {"$gt": 150}}, {"$limit": 5}]}
+    return _entry_ts(_QE.query(_records(spark, sf_dir), when=when, ordered=False,
+                               label_columns=_LC()))
+
+
+SQL_CTX_AFTER_LIMIT = """
+SELECT entry, ts FROM (
+  SELECT entry, ts, rn, intr,
+    max(k) OVER (PARTITION BY entry ORDER BY rn
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS near
+  FROM (
+    SELECT entry, ts, rn,
+      CASE WHEN hit AND cnt <= 5 THEN 1 ELSE 0 END AS k,
+      min(CASE WHEN hit AND cnt = 6 THEN rn END)
+        OVER (PARTITION BY entry) AS intr
+    FROM (
+      SELECT event_type AS entry, epoch_us(ts) AS ts,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY epoch_us(ts)) AS rn,
+        (value > 150) AS hit,
+        sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS cnt
+      FROM events
+    )
+  )
+) WHERE near = 1 AND (intr IS NULL OR rn < intr)
+"""
+
+
 def q_multi_entry(spark, sf_dir):
     """Multi-entry query with glob include/exclude + k-way merge order
     (bucket/query.rs:96-154, 272-282)."""
@@ -4119,6 +4159,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ctx_after_each_n": (q_ctx_after_each_n, SQL_CTX_AFTER_EACH_N),
     "ctx_padding_duration": (q_ctx_padding_duration, SQL_CTX_PADDING_DURATION),
     "ctx_limit": (q_ctx_limit, SQL_CTX_LIMIT),
+    "ctx_after_limit": (q_ctx_after_limit, SQL_CTX_AFTER_LIMIT),
     "strict_mode": (q_strict_mode, SQL_STRICT_MODE),
     "ext_pipeline": (q_ext_pipeline, SQL_EXT_PIPELINE),
     "multi_entry": (q_multi_entry, SQL_MULTI_ENTRY),
@@ -4161,8 +4202,8 @@ _R4_WINDOW = [
     "langid_confusion",
     # r3 hash-fail (HUGEINT oracle artifact), fixed this round
     "corpus_stats", "pipeline_end_to_end",
-    # new this round: ctx_before + $limit buffer-flush interplay
-    "ctx_limit",
+    # new this round: ctx paddings x $limit interplay (flush + Interrupt)
+    "ctx_limit", "ctx_after_limit",
     # r3-green high-risk rows held in the window
     "strict_error", "stream_each_t", "stream_gate", "stream_rollup",
     "stream_replication", "stream_restart", "store_roundtrip",
@@ -4172,9 +4213,9 @@ _R4_WINDOW = [
     "winnow_overlap", "minhash_accuracy", "dedup_ngram_jaccard",
     "dedup_embedding", "curation_report", "ngram_novelty",
     "shingle_dup_profile", "sim_cosine_topk", "join_salted", "sessionize",
-    "events_daily", "multimodal_meta", "multimodal_frames",
-    # new oracle-gated entries this round (replacing two lower-risk
-    # r3-green text rows, which rotate back in later)
+    "multimodal_meta", "multimodal_frames",
+    # new oracle-gated entries this round (replacing three lower-risk
+    # r3-green rows, which rotate back in later)
     "dsir_weights", "drift_report",
 ]
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50

@@ -161,7 +161,9 @@ def test_strict_mode_raises_jvm_side(spark):
 STRICT_CASES = [
     ({"&nope": {"$gt": 1}}, "Reference '&nope' not found"),
     ({"&label": {"$gt": 1}}, None),
-    ({"$gt": ["&status", 1]}, "Cannot compare string with non-string value"),
+    # PartialOrd None (string-vs-number) -> Bool(false), never an error,
+    # even in strict mode (gt.rs Ok(Bool(v1 > v2)); round-4 correction)
+    ({"$gt": ["&status", 1]}, None),
     ({"$eq": [{"$div": ["&label", 0]}, 1]}, "Cannot divide by zero"),
     ({"$eq": [{"$add": ["&status", "&label"]}, 1]}, "Cannot add string"),
     ({"$eq": [{"$sub": ["&status", 1]}, 1]}, "Cannot subtract string"),
@@ -288,6 +290,42 @@ def test_display_edges_all_tiers_i64_overflow_and_exact_add(spark):
     ]
     for cond, labels, want in cases:
         node, _ = parse_when(cond)
+        df = spark.createDataFrame([(0, labels)],
+                                   "ts long, labels map<string,string>")
+        for mk in (FlatCompiler, ColumnCompiler):
+            pred = mk(F.col("ts"), F.col("labels")).predicate(node)
+            got = df.select(pred.alias("p")).collect()[0]["p"]
+            assert got == want, (mk.__name__, cond, got, want)
+
+
+def test_unordered_comparisons_false_all_tiers(spark):
+    """Round-4 fuzz finds pinned: (a) const-folded NaN ($rem[MIN, 0.0])
+    must not leak into Spark's NaN-is-greatest ordering (seed 2009);
+    (b) struct div_num at near-2^63 magnitudes must use exact i64
+    division, not decimal rounding (MAX div MIN = 0, not 1; seed 2014);
+    plus the corrected PartialOrd semantics: unordered pairs compare
+    FALSE, never error, so nested negations see them."""
+    from reductstore_spark.condition.fastcols import FlatCompiler
+    from reductstore_spark.condition.interpreter import Context, Evaluator
+    from reductstore_spark.condition import values as V
+
+    cases = [
+        ({"$gt": [{"$rem": [-9223372036854775808, 0.0]},
+                  {"$gte": ["&c", "1"]}]}, {"c": "1_000"}, False),
+        ({"$div_num": ["&b", {"$mult": ["&a", 9223372036854775807]}]},
+         {"a": "-infinity", "b": "1.7976931348623157e308"}, False),
+        ({"$eq": [{"$div_num": ["&b", {"$mult": ["&a",
+                                                 9223372036854775807]}]}, 0]},
+         {"a": "-infinity", "b": "1.7976931348623157e308"}, True),
+        ({"$gt": ["&s", 1]}, {"s": "abc"}, False),
+        ({"$not": [{"$gt": ["&s", 1]}]}, {"s": "abc"}, True),
+        ({"$lte": [{"$rem": [1.5, 0.0]}, 99]}, {}, False),
+        ({"$xor": [{"$lt": ["&s", 0]}, True]}, {"s": "x"}, True),
+    ]
+    for cond, labels, want in cases:
+        node, _ = parse_when(cond)
+        assert bool(V.as_bool(Evaluator(node).apply(Context(0, labels)))) \
+            == want, ("interp", cond)
         df = spark.createDataFrame([(0, labels)],
                                    "ts long, labels map<string,string>")
         for mk in (FlatCompiler, ColumnCompiler):

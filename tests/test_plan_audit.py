@@ -17,7 +17,7 @@ PY_OK = {
     "ctx_padding", "each_n", "dedup_components", "ann_ivf",
     "store_roundtrip", "store_remove", "update_labels",
     "dedup_embedding",  # Arrow-vectorized pair cosine (cosine_pd)
-    "ctx_limit",  # ctx+$limit buffer-flush interplay: slim interpreter
+    "ctx_limit", "ctx_after_limit",  # ctx x $limit: slim interpreter
 }
 # scalar (1-row / tiny-broadcast) cross joins
 NLJ_OK = {

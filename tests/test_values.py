@@ -114,13 +114,18 @@ def test_cross_type_eq():
     assert V.val_eq(vstr("x"), vstr("x"))
 
 
-def test_string_number_ordering_is_error():
-    with pytest.raises(CondError):
-        V.val_cmp(vstr("abc"), vint(1))
-    with pytest.raises(CondError):
-        evaluate_raises = None
-        node, _ = parse_when({"$gt": ["abc", 1]})
-        Evaluator(node).apply(Context(0, {}))
+def test_string_number_ordering_is_false_not_error():
+    """Rust PartialOrd: partial_cmp None for string-vs-non-string and
+    NaN; the comparison operators wrap it as Bool(v1 > v2) so an
+    unordered pair is FALSE, never an error (gt.rs; cmp.rs String/None
+    arms).  Round-4 correction — rounds 1-3 wrongly raised here."""
+    assert V.val_cmp(vstr("abc"), vint(1)) is None
+    assert V.val_cmp(vfloat(float("nan")), vint(1)) is None
+    node, _ = parse_when({"$or": [{"$gt": ["abc", 1]}, True]})
+    assert V.as_bool(Evaluator(node).apply(Context(0, {})))  # no error
+    for op in ("$gt", "$gte", "$lt", "$lte"):
+        node, _ = parse_when({op: ["abc", 1]})
+        assert not V.as_bool(Evaluator(node).apply(Context(0, {})))
 
 
 def test_arithmetic_promotion():
