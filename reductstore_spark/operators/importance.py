@@ -24,6 +24,16 @@ Scale design (100 TB):
 - md5-prefix bucketing keeps the features engine-portable (the same
   trick as operators/dedup.py minhash), so a DuckDB oracle can replay
   the exact pipeline.
+
+Measured design note (round 4): the raw/target distributions read the
+word stream again rather than deriving from a persisted (doc, bucket)
+aggregate.  Both extra passes aggregate map-side straight to <=256 rows
+(scan-bound, shuffle-free), and the persisted-derivation variant
+measured 2.4x SLOWER at sf1 (word-level cache materialization costs
+more than the rescans below ~10 GB corpora).  A 100 TB deployment whose
+scan cost dominates should persist the per-doc aggregate
+(MEMORY_AND_DISK) and derive both distributions from it — same values,
+one corpus pass; the oracle is agnostic to the choice.
 """
 
 from __future__ import annotations
