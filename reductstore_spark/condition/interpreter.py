@@ -439,6 +439,25 @@ class WhenFilter:
             {k: v for k, v in record.labels.items() if k in self.select_labels}
         )
 
+    # -- state (for streaming checkpoints) -------------------------------
+    def get_state(self) -> dict:
+        """Everything that must survive a micro-batch boundary: operator
+        state, the ctx_before buffer, and the after-latch counters."""
+        return {
+            "ops": self.evaluator.get_state(),
+            "buffer": [(r.timestamp, r.labels, r.computed_labels, r.extra)
+                       for r in self._buffer],
+            "after_count": self._after_count,
+            "after_last_ts": self._after_last_ts,
+        }
+
+    def set_state(self, st: dict) -> None:
+        self.evaluator.set_state(st["ops"])
+        self._buffer = deque(FilterRecord(t, lb, cp, x)
+                             for t, lb, cp, x in st["buffer"])
+        self._after_count = st["after_count"]
+        self._after_last_ts = st["after_last_ts"]
+
     def feed(self, record) -> Optional[list]:
         """Returns records to emit, or None to stop the scan (Interrupt)."""
         self._queue(record)

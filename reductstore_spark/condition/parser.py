@@ -50,6 +50,14 @@ def parse_when(when: Any) -> Tuple[Node, Dict[str, List[Value]]]:
     """
     if isinstance(when, str):
         when = json.loads(when)
+    elif isinstance(when, dict):
+        # _parse_directives strips '#' keys as it goes (mirroring the
+        # reference's directives.remove on an OWNED map, parser.rs) — a
+        # shallow copy keeps that consumption off the CALLER's dict, so
+        # re-planning with the same `when` (a second query run, a stream
+        # restart) sees the directives again (r4 fuzz-drive find: the
+        # second parse silently lost #ctx_before/#select_labels)
+        when = dict(when)
     directives = _parse_directives(when)
     expressions = _parse_recursively(when)
     return Op("$and", expressions), directives

@@ -65,8 +65,17 @@ def continuous_query(
         if is_stateful(node):
             raise NotImplementedError(
                 "stateful operators on continuous queries: use "
-                "run_stateful_continuous")
+                "stateful_stream")
+        if "#ctx_before" in directives or "#ctx_after" in directives:
+            # ctx buffers span micro-batch boundaries — cross-batch
+            # state, which the grouped-state path provides
+            raise NotImplementedError(
+                "ctx paddings on continuous queries: use stateful_stream")
         df = df.where(_predicate(df, node, strict))
+        sel = directives.get("#select_labels")
+        if sel is not None:
+            from ..plans.planner import _select_labels
+            df = _select_labels(df, directives)
     return df
 
 

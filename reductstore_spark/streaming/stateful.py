@@ -29,11 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..condition.ast import Node
-from ..condition.interpreter import Context, Evaluator
 from ..condition.parser import parse_when
-from ..condition.values import CondError, Interrupt
-from ..condition import values as V
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
 
@@ -46,45 +42,60 @@ _OUT_SCHEMA = StructType([
 
 
 def stateful_stream(stream_df: DataFrame, when, strict: bool = False) -> DataFrame:
-    """Apply a stateful `when` condition to a records stream.
+    """Apply a stateful and/or ctx-padded `when` condition to a records
+    stream — the streaming form of the reference's full WhenFilter
+    (filters/when.rs:60-107): condition state, the #ctx_before buffer,
+    and the #ctx_after latch all survive micro-batch boundaries in the
+    group state, so a match early in one batch drains context rows
+    buffered in the previous batch, exactly like the reference's
+    sequential tail scan.
 
     Returns (bucket, entry, ts, labels_json) of matching records —
     payloads can be re-joined downstream by (bucket, entry, ts)."""
+    from ..condition.interpreter import FilterRecord, WhenFilter
+
     node, directives = parse_when(when)
-    if directives:
-        raise NotImplementedError("directives on stateful streams")
+    unsupported = {k for k in directives
+                   if k not in ("#ctx_before", "#ctx_after",
+                                "#select_labels")}
+    if unsupported:
+        raise NotImplementedError(
+            f"directives on stateful streams: {sorted(unsupported)}")
+    # validate directive values at plan time, not in the executor
+    WhenFilter(node, directives, strict)
 
     ser = stream_df.selectExpr(
         "bucket", "entry", "ts", "to_json(labels) AS labels_json")
 
     def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
-        ev = Evaluator(node)
+        wf = WhenFilter(node, directives, strict)
         interrupted = False
         if state.exists:
             blob = state.get[0]
             st = pickle.loads(blob)
             interrupted = st["interrupted"]
-            ev.set_state(st["ops"])
+            wf.set_state(st["wf"])
         out: List[Dict] = []
+        bucket, entry = key
         for pdf in pdf_iter:
             if interrupted:
                 break
             pdf = pdf.sort_values("ts", kind="mergesort")
             for row in pdf.itertuples(index=False):
                 labels = json.loads(row.labels_json) if row.labels_json else {}
-                try:
-                    ok = V.as_bool(ev.apply(Context(int(row.ts), labels, {})))
-                except Interrupt:
+                emitted = wf.feed(FilterRecord(int(row.ts), labels, {},
+                                               extra=row.labels_json))
+                if emitted is None:  # $limit Interrupt — scan over
                     interrupted = True
                     break
-                except CondError:
-                    if strict:
-                        raise
-                    ok = False
-                if ok:
-                    out.append({"bucket": row.bucket, "entry": row.entry,
-                                "ts": int(row.ts), "labels_json": row.labels_json})
-        state.update((pickle.dumps({"ops": ev.get_state(),
+                for r in emitted:
+                    # untouched labels pass the original JSON through;
+                    # #select_labels re-serializes the filtered map
+                    lj = r.extra if wf.select_labels is None \
+                        else json.dumps(r.labels)
+                    out.append({"bucket": bucket, "entry": entry,
+                                "ts": r.timestamp, "labels_json": lj})
+        state.update((pickle.dumps({"wf": wf.get_state(),
                                     "interrupted": interrupted}),))
         if out:
             yield pd.DataFrame(out)

@@ -97,6 +97,71 @@ def test_continuous_query_glob_sees_post_start_entries(spark, tmp_path):
     assert ent == {"cam1/front", "cam9/front"}
 
 
+def test_stateful_stream_ctx_before_spans_micro_batches(spark, tmp_path):
+    """#ctx_before on a stream: the buffer lives in the group state, so
+    a match at the START of batch 2 drains context rows written in
+    batch 1 — the reference's sequential tail scan behavior
+    (when.rs:60-107 + ctx_before.rs queue/drain)."""
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, root)
+    when = {"#ctx_before": 2, "&v": {"$gte": 10}}
+
+    # batch 1: v = 0..4 — no match, but the last two rows are context
+    store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+    got1 = drain(spark, stateful_stream(continuous_query(spark, root), when),
+                 out, cp)
+    assert got1 == set()
+
+    # batch 2: v = 10, 11 at ts 10s, 11s — first row matches and must
+    # drain ts=3s,4s from the PREVIOUS batch's buffer
+    store.write(spark.createDataFrame(mk_rows("e1", 2, base=10_000_000), SCHEMA))
+    got2 = drain(spark, stateful_stream(continuous_query(spark, root), when),
+                 out, cp)
+    assert got2 == {3_000_000, 4_000_000, 10_000_000, 11_000_000}
+
+
+def test_stateful_stream_ctx_limit_interrupt_persists(spark, tmp_path):
+    """ctx_before + $limit on a stream: context rows do not count
+    against the limit, and once the counter passes N the Interrupt
+    latches across checkpoint recovery — later batches emit nothing."""
+    root = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = RecordStore(spark, root)
+    when = {"#ctx_before": 1,
+            "$and": [{"&v": {"$gte": 3}}, {"$limit": 2}]}
+
+    store.write(spark.createDataFrame(mk_rows("e1", 6), SCHEMA))
+    got1 = drain(spark, stateful_stream(continuous_query(spark, root), when),
+                 out, cp)
+    # matches v=3,4 (limit 2); each drains 1-before context
+    assert got1 == {2_000_000, 3_000_000, 4_000_000}
+
+    store.write(spark.createDataFrame(mk_rows("e1", 3, base=10_000_000), SCHEMA))
+    got2 = drain(spark, stateful_stream(continuous_query(spark, root), when),
+                 out, cp)
+    assert got2 == set()  # interrupted scan stays interrupted
+
+
+def test_continuous_query_select_labels_and_ctx_raises(spark, tmp_path):
+    root = str(tmp_path / "store")
+    store = RecordStore(spark, root)
+    store.write(spark.createDataFrame(mk_rows("e1", 3), SCHEMA))
+    stream = continuous_query(
+        spark, root, when={"#select_labels": ["v"], "&v": {"$gte": 1}})
+    q = stream.writeStream.format("memory").queryName("selstream") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT ts, labels FROM selstream ORDER BY ts").collect()
+    assert [r["ts"] for r in rows] == [1_000_000, 2_000_000]
+    assert all(set(r["labels"].keys()) == {"v"} for r in rows)
+    with pytest.raises(NotImplementedError, match="ctx"):
+        continuous_query(spark, root,
+                         when={"#ctx_before": 2, "&v": {"$gte": 1}})
+
+
 def test_replication_entry_glob_prefix_and_when(spark, tmp_path):
     src_root = str(tmp_path / "src")
     dst_root = str(tmp_path / "dst")

@@ -294,3 +294,17 @@ def test_duration_parse_wraps_like_release_i64():
     # the multi-part sum wraps too
     two = (2 * (max_days * 86_400_000_000) + 2**63) % 2**64 - 2**63
     assert parse_duration_us(f"{max_days}d {max_days}d") == two
+
+
+def test_parse_when_does_not_mutate_caller_dict():
+    """Directive parsing consumes '#' keys from an internal copy, not
+    the caller's dict: re-planning with the same `when` (second query
+    run, stream re-registration) must see the directives again (r4
+    find: the second parse silently lost #ctx_before/#select_labels)."""
+    when = {"#ctx_before": 2, "#select_labels": ["v"], "&v": {"$gte": 10}}
+    snapshot = {"#ctx_before": 2, "#select_labels": ["v"],
+                "&v": {"$gte": 10}}
+    _, d1 = parse_when(when)
+    _, d2 = parse_when(when)
+    assert when == snapshot
+    assert sorted(d1) == sorted(d2) == ["#ctx_before", "#select_labels"]
