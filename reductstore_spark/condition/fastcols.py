@@ -651,11 +651,10 @@ class FlatCompiler:
         base_err = _err(a) | _err(b)
         op = {"$gt": _op.gt, "$gte": _op.ge, "$lt": _op.lt, "$lte": _op.le}[name]
         if a.const is not None and b.const is not None:
-            c = V.val_cmp(a.const, b.const)
-            res = (c is not None and
-                   {"$gt": c > 0, "$gte": c >= 0,
-                    "$lt": c < 0, "$lte": c <= 0}[name]) if c is not None \
-                else False
+            c = V.val_cmp(a.const, b.const)  # None = unordered -> false
+            res = False if c is None else {
+                "$gt": c > 0, "$gte": c >= 0,
+                "$lt": c < 0, "$lte": c <= 0}[name]
             return FV(num=F.lit(res).cast("double"), err=base_err, numeric_only=True)
 
         sa, sb = _is_str(a), _is_str(b)

@@ -61,6 +61,29 @@ def _entry_ts(df: DataFrame) -> DataFrame:
 
 _GATE_SCRATCH: list = []
 
+# Side-effect memo for the BENCH_EXCLUDE gate entries (round-4 verdict
+# narrowed in round 5): caches the expensive MATERIALIZATION only — a
+# scratch store written + a real stream drained, or a small collected
+# scalar row — never the returned DataFrame.  Every invocation rebuilds
+# the cheap read plan from the cached descriptor, so a harness that
+# re-invokes an entry (determinism check, second timing run) still
+# executes a real plan.  Weakly keyed on the session: a stopped
+# session's cached paths/rows become collectable (round-4 advice #4).
+import weakref  # noqa: E402
+
+_GATE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _memo_effect(spark: SparkSession, name: str, sf_dir: str, build):
+    """Run ``build`` (the expensive side effect) once per
+    (session, entry, sf_dir) and return its small descriptor — a sink
+    path or collected rows — from which callers derive a fresh plan."""
+    cache = _GATE_MEMO.setdefault(spark, {})
+    key = (name, sf_dir)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
 
 def _gate_scratch(prefix: str) -> str:
     """Session-scoped temp dir for gate entries that materialize a store
@@ -401,20 +424,24 @@ def q_strict_error(spark, sf_dir):
     result encodes both outcomes so the oracle FAILS if strict ever
     stops raising (round-2 verdict: the old strict oracle only covered
     the error-free path)."""
-    recs = _records(spark, sf_dir)
-    when = {"&big": {"$eq": True}}
-    n = _QE.query(recs, when=when, ordered=False,
-                  label_columns=_LC()).count()
-    raised, msg = 0, None
-    try:
-        _QE.query(recs, when=when, strict=True, ordered=False,
-                  label_columns=_LC()).count()
-    except Exception as exc:  # noqa: BLE001 — engine raises via raise_error
-        raised = 1
-        m = str(exc)
-        if "[USER_RAISED_EXCEPTION]" in m:
-            m = m.split("[USER_RAISED_EXCEPTION]")[-1]
-        msg = m.split("SQLSTATE")[0].strip()
+    def build():
+        recs = _records(spark, sf_dir)
+        when = {"&big": {"$eq": True}}
+        n = _QE.query(recs, when=when, ordered=False,
+                      label_columns=_LC()).count()
+        raised, msg = 0, None
+        try:
+            _QE.query(recs, when=when, strict=True, ordered=False,
+                      label_columns=_LC()).count()
+        except Exception as exc:  # noqa: BLE001 — raised via raise_error
+            raised = 1
+            m = str(exc)
+            if "[USER_RAISED_EXCEPTION]" in m:
+                m = m.split("[USER_RAISED_EXCEPTION]")[-1]
+            msg = m.split("SQLSTATE")[0].strip()
+        return n, raised, msg
+
+    n, raised, msg = _memo_effect(spark, "strict_error", sf_dir, build)
     return spark.createDataFrame(
         [(n, raised, msg)],
         "non_strict_rows long, strict_raised int, strict_msg string")
@@ -3304,23 +3331,29 @@ def q_stream_rollup(spark, sf_dir):
     from .streaming.rollup import windowed_rollup
 
     prep(spark)
-    root = _gate_scratch("rs_stream_rollup_")
-    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-    recs = _records(spark, sf_dir).select(
-        "bucket", "entry", "ts", "payload", "content_type", "state",
-        "labels", "computed_labels")
-    RecordStore(spark, store_dir).write(recs)
-    roll = windowed_rollup(
-        continuous_query(spark, store_dir, max_files_per_trigger=1_000_000),
-        window_duration="1 day", watermark_delay="1 hour")
-    q = (roll.writeStream.format("parquet").outputMode("append")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    # the sink dir outlives the call (session-scoped scratch), so
-    # the result stays a lazy read; only the intermediates go now
-    shutil.rmtree(store_dir, ignore_errors=True)
-    shutil.rmtree(cp, ignore_errors=True)
+
+    def build():
+        root = _gate_scratch("rs_stream_rollup_")
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        roll = windowed_rollup(
+            continuous_query(spark, store_dir,
+                             max_files_per_trigger=1_000_000),
+            window_duration="1 day", watermark_delay="1 hour")
+        q = (roll.writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # the sink dir outlives the call (session-scoped scratch), so
+        # the result stays a lazy read; only the intermediates go now
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        return out
+
+    out = _memo_effect(spark, "stream_rollup", sf_dir, build)
     return spark.read.parquet(out).select(
         "entry", "win_start", "win_end", "n", "first_ts", "last_ts")
 
@@ -3352,22 +3385,27 @@ def q_stream_replication(spark, sf_dir):
     from .streaming.replication import ReplicationSettings, start_replication
 
     prep(spark)
-    root = _gate_scratch("rs_stream_repl_")
-    src_dir, dst_dir, cp = f"{root}/src", f"{root}/dst", f"{root}/cp"
-    recs = _records(spark, sf_dir).select(
-        "bucket", "entry", "ts", "payload", "content_type", "state",
-        "labels", "computed_labels")
-    RecordStore(spark, src_dir).write(recs)
-    settings = ReplicationSettings(
-        src_bucket="events", dst_bucket="replica",
-        entries=["c*", "purchase"], dst_prefix="mirror/",
-        when={"&value": {"$gt": 100}})
-    q = start_replication(spark, src_dir, dst_dir, settings, cp,
-                          available_now=True)
-    q.awaitTermination(300)
-    # destination store outlives the call; drop source + checkpoint
-    shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(cp, ignore_errors=True)
+
+    def build():
+        root = _gate_scratch("rs_stream_repl_")
+        src_dir, dst_dir, cp = f"{root}/src", f"{root}/dst", f"{root}/cp"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, src_dir).write(recs)
+        settings = ReplicationSettings(
+            src_bucket="events", dst_bucket="replica",
+            entries=["c*", "purchase"], dst_prefix="mirror/",
+            when={"&value": {"$gt": 100}})
+        q = start_replication(spark, src_dir, dst_dir, settings, cp,
+                              available_now=True)
+        q.awaitTermination(300)
+        # destination store outlives the call; drop source + checkpoint
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        return dst_dir
+
+    dst_dir = _memo_effect(spark, "stream_replication", sf_dir, build)
     return (RecordStore(spark, dst_dir).read()
             .select("bucket", "entry", "ts"))
 
@@ -3395,22 +3433,27 @@ def q_stream_each_t(spark, sf_dir):
     from .streaming.stateful import stateful_stream
 
     prep(spark)
-    root = _gate_scratch("rs_stream_eacht_")
-    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-    recs = _records(spark, sf_dir).select(
-        "bucket", "entry", "ts", "payload", "content_type", "state",
-        "labels", "computed_labels")
-    RecordStore(spark, store_dir).write(recs)
-    stream = stateful_stream(
-        continuous_query(spark, store_dir, max_files_per_trigger=8),
-        when={"$each_t": "30m"})
-    q = (stream.select("entry", "ts")
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    shutil.rmtree(store_dir, ignore_errors=True)
-    shutil.rmtree(cp, ignore_errors=True)
+
+    def build():
+        root = _gate_scratch("rs_stream_eacht_")
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        stream = stateful_stream(
+            continuous_query(spark, store_dir, max_files_per_trigger=8),
+            when={"$each_t": "30m"})
+        q = (stream.select("entry", "ts")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        return out
+
+    out = _memo_effect(spark, "stream_each_t", sf_dir, build)
     return spark.read.parquet(out).select("entry", "ts")
 
 
@@ -3427,23 +3470,110 @@ def q_stream_gate(spark, sf_dir):
     from .streaming.stateful import stateful_stream
 
     prep(spark)
-    root = _gate_scratch("rs_stream_gate_")
-    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-    recs = _records(spark, sf_dir).select(
-        "bucket", "entry", "ts", "payload", "content_type", "state",
-        "labels", "computed_labels")
-    RecordStore(spark, store_dir).write(recs)
-    stream = stateful_stream(
-        continuous_query(spark, store_dir, max_files_per_trigger=8),
-        when={"$gate": ["2h", {"&value": {"$gt": 100}}]})
-    q = (stream.select("entry", "ts")
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    shutil.rmtree(store_dir, ignore_errors=True)
-    shutil.rmtree(cp, ignore_errors=True)
+
+    def build():
+        root = _gate_scratch("rs_stream_gate_")
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        stream = stateful_stream(
+            continuous_query(spark, store_dir, max_files_per_trigger=8),
+            when={"$gate": ["2h", {"&value": {"$gt": 100}}]})
+        q = (stream.select("entry", "ts")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        return out
+
+    out = _memo_effect(spark, "stream_gate", sf_dir, build)
     return spark.read.parquet(out).select("entry", "ts")
+
+
+def q_stream_ctx(spark, sf_dir):
+    """#ctx_before composed with $gate on the STREAMING path — the r4
+    cross-batch ctx work under an oracle: the 2-record context buffer,
+    the gate's (deadline, prev, latch) state, AND their interplay (a
+    match early in one micro-batch drains rows buffered in the previous
+    batch) all live in the group state (streaming/stateful.py ctx
+    handling; reference filters/when.rs:60-107 sequential drain +
+    ctx_before.rs buffer).  8 files per trigger forces many batch
+    boundaries; the oracle replays the gate state machine with a
+    recursive CTE and applies the ctx window over its keep flags."""
+    import shutil
+
+    from .sources.store import RecordStore
+    from .streaming.continuous import continuous_query
+    from .streaming.stateful import stateful_stream
+
+    prep(spark)
+
+    def build():
+        root = _gate_scratch("rs_stream_ctx_")
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        RecordStore(spark, store_dir).write(recs)
+        stream = stateful_stream(
+            continuous_query(spark, store_dir, max_files_per_trigger=8),
+            when={"#ctx_before": 2,
+                  "$gate": ["2h", {"&value": {"$gt": 100}}]})
+        q = (stream.select("entry", "ts")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        return out
+
+    out = _memo_effect(spark, "stream_ctx", sf_dir, build)
+    return spark.read.parquet(out).select("entry", "ts")
+
+
+# gate walk (same state machine as SQL_GATE) -> keep flags, then the
+# ctx_before-2 drain expressed as a physical-row window: a row emits iff
+# a kept record occurs within the next 2 rows of its entry (buffer cap 2
+# of non-matching rows == match within 2 physical following rows, since
+# intervening matches drain the buffer early)
+SQL_STREAM_CTX = """
+WITH RECURSIVE ordered AS (
+  SELECT event_type AS entry, epoch_us(ts) AS ts, (value > 100) AS inp,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+), walk AS (
+  SELECT entry, ts, rn,
+         CASE WHEN inp THEN ts + 7200000000 END AS deadline,
+         inp AS prev, FALSE AS rst, inp AS keep
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.entry, o.ts, o.rn,
+         CASE WHEN w.rst OR (w.deadline IS NOT NULL AND o.ts >= w.deadline)
+                THEN NULL
+              WHEN w.deadline IS NULL AND NOT w.prev AND o.inp
+                THEN o.ts + 7200000000
+              ELSE w.deadline END,
+         o.inp,
+         CASE WHEN w.rst OR (w.deadline IS NOT NULL AND o.ts >= w.deadline)
+              THEN o.inp ELSE FALSE END,
+         CASE WHEN w.rst OR (w.deadline IS NOT NULL AND o.ts >= w.deadline)
+              THEN FALSE
+              ELSE COALESCE(o.inp AND o.ts <
+                   (CASE WHEN w.deadline IS NULL AND NOT w.prev AND o.inp
+                         THEN o.ts + 7200000000 ELSE w.deadline END), FALSE)
+              END
+  FROM walk w JOIN ordered o ON o.entry = w.entry AND o.rn = w.rn + 1
+)
+SELECT entry, ts FROM (
+  SELECT entry, ts, CASE WHEN keep THEN 1 ELSE 0 END AS m FROM walk
+) QUALIFY max(m) OVER (PARTITION BY entry ORDER BY ts
+                       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) = 1
+"""
 
 
 def q_stream_restart(spark, sf_dir):
@@ -3459,25 +3589,30 @@ def q_stream_restart(spark, sf_dir):
     from .streaming.continuous import continuous_query
 
     prep(spark)
-    root = _gate_scratch("rs_stream_restart_")
-    store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
-    recs = _records(spark, sf_dir).select(
-        "bucket", "entry", "ts", "payload", "content_type", "state",
-        "labels", "computed_labels")
-    store = RecordStore(spark, store_dir)
-    store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 0))
-    for _run in range(2):
-        q = (continuous_query(spark, store_dir,
-                              when={"&value": {"$gt": 50}})
-             .select("entry", "ts")
-             .writeStream.format("parquet")
-             .option("path", out).option("checkpointLocation", cp)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        if _run == 0:
-            store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 1))
-    shutil.rmtree(store_dir, ignore_errors=True)
-    shutil.rmtree(cp, ignore_errors=True)
+
+    def build():
+        root = _gate_scratch("rs_stream_restart_")
+        store_dir, cp, out = f"{root}/store", f"{root}/cp", f"{root}/out"
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        store = RecordStore(spark, store_dir)
+        store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 0))
+        for _run in range(2):
+            q = (continuous_query(spark, store_dir,
+                                  when={"&value": {"$gt": 50}})
+                 .select("entry", "ts")
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", cp)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            if _run == 0:
+                store.write(recs.where(F.pmod(F.col("ts"), F.lit(2)) == 1))
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        return out
+
+    out = _memo_effect(spark, "stream_restart", sf_dir, build)
     return spark.read.parquet(out).select("entry", "ts")
 
 
@@ -3857,26 +3992,36 @@ def q_bucketed_join(spark, sf_dir):
     from .sources.bucketed import write_bucketed
 
     prep(spark)
-    root = tempfile.mkdtemp(prefix="rs_bucketed_")
-    u = uuid.uuid4().hex[:8]
-    ob, lb = f"ob_{u}", f"lb_{u}"
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    try:
-        od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-        write_bucketed(od, ob, ["o_orderkey"], 8, f"{root}/o")
-        write_bucketed(li, lb, ["l_orderkey"], 8, f"{root}/l")
-        res = (spark.table(lb)
-               .join(spark.table(ob),
-                     F.col("l_orderkey") == F.col("o_orderkey"))
-               .groupBy("o_orderstatus")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(dec("l_quantity")).cast("double").alias("sum_qty")))
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
-        for t in (ob, lb):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(root, ignore_errors=True)
+
+    def build():
+        root = tempfile.mkdtemp(prefix="rs_bucketed_")
+        u = uuid.uuid4().hex[:8]
+        ob, lb = f"ob_{u}", f"lb_{u}"
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        try:
+            od = _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus")
+            li = _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity")
+            write_bucketed(od, ob, ["o_orderkey"], 8, f"{root}/o")
+            write_bucketed(li, lb, ["l_orderkey"], 8, f"{root}/l")
+            res = (spark.table(lb)
+                   .join(spark.table(ob),
+                         F.col("l_orderkey") == F.col("o_orderkey"))
+                   .groupBy("o_orderstatus")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum(dec("l_quantity")).cast("double")
+                        .alias("sum_qty")))
+            # grouped result, bounded (order statuses): collect before
+            # DROP TABLE so the descriptor outlives the bucketed tables
+            return res.collect(), res.schema
+        finally:
+            for t in (ob, lb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(root, ignore_errors=True)
+
+    rows, schema = _memo_effect(spark, "bucketed_join", sf_dir, build)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_read_single(spark, sf_dir):
@@ -3910,22 +4055,28 @@ def q_lifecycle_delete(spark, sf_dir):
     from .sources.store import RecordStore
 
     prep(spark)
-    root = _gate_scratch("rs_lifecycle_")
-    recs = _records(spark, sf_dir).select(
-        "bucket", "entry", "ts", "payload", "content_type", "state",
-        "labels", "computed_labels")
-    store = RecordStore(spark, f"{root}/store")
-    store.write(recs)
-    now_us = recs.agg(F.max("ts")).collect()[0][0]
-    policy = LifecyclePolicy(bucket="events",
-                             older_than_us=10 * 86_400_000_000,
-                             when={"&value": {"$gt": 100}})
-    run_delete_action(store, policy, now_us=now_us)
-    run_compress_action(store, "events",
-                        older_than_us=10 * 86_400_000_000, now_us=now_us)
-    # the store dir outlives the call (session-scoped scratch): the
-    # resolved read stays lazy
-    return store.read().select("entry", "ts")
+
+    def build():
+        root = _gate_scratch("rs_lifecycle_")
+        recs = _records(spark, sf_dir).select(
+            "bucket", "entry", "ts", "payload", "content_type", "state",
+            "labels", "computed_labels")
+        store = RecordStore(spark, f"{root}/store")
+        store.write(recs)
+        now_us = recs.agg(F.max("ts")).collect()[0][0]
+        policy = LifecyclePolicy(bucket="events",
+                                 older_than_us=10 * 86_400_000_000,
+                                 when={"&value": {"$gt": 100}})
+        run_delete_action(store, policy, now_us=now_us)
+        run_compress_action(store, "events",
+                            older_than_us=10 * 86_400_000_000,
+                            now_us=now_us)
+        # the store dir outlives the call (session-scoped scratch): the
+        # resolved read stays lazy
+        return f"{root}/store"
+
+    store_dir = _memo_effect(spark, "lifecycle_delete", sf_dir, build)
+    return RecordStore(spark, store_dir).read().select("entry", "ts")
 
 
 SQL_LIFECYCLE_DELETE = """
@@ -4048,8 +4199,8 @@ SELECT source, CAST(sum(t) AS BIGINT) AS js_e6 FROM (
 # queries that materialize a store + run a real stream per invocation:
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
-                 "stream_gate", "stream_restart", "lifecycle_delete",
-                 "bucketed_join", "strict_error"}
+                 "stream_gate", "stream_ctx", "stream_restart",
+                 "lifecycle_delete", "bucketed_join", "strict_error"}
 
 
 # ---------------------------------------------------------------------------
@@ -4073,6 +4224,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "stream_each_t": (q_stream_each_t, SQL_EACH_T),
     "stream_gate": (q_stream_gate, SQL_GATE),
+    "stream_ctx": (q_stream_ctx, SQL_STREAM_CTX),
     "lifecycle_delete": (q_lifecycle_delete, SQL_LIFECYCLE_DELETE),
     # new in round 3 (never driver-verified)
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
@@ -4189,63 +4341,41 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
 }
 
-# Round-4 driver window (the driver records the FIRST 50 entries): the 13
-# registry entries that have never appeared in any CORRECTNESS_r*.json,
-# the two r3 hash-fail entries re-proven after the HUGEINT oracle fix,
-# the new ctx_limit, then the highest-risk r3-green rows (streams,
-# stores, stateful, lifecycle, dedup) kept under continuous driver watch.
-_R4_WINDOW = [
-    # never driver-verified (r1-r3 rotation remainder)
-    "repetition", "funnel_conversion", "cohort_retention", "length_hist",
-    "length_outliers", "class_spread", "event_pivot", "event_transitions",
-    "curriculum_mix", "sql_surface", "vocab_stats", "pmi_bigrams",
-    "langid_confusion",
-    # r3 hash-fail (HUGEINT oracle artifact), fixed this round
-    "corpus_stats", "pipeline_end_to_end",
-    # new this round: ctx paddings x $limit interplay (flush + Interrupt)
-    "ctx_limit", "ctx_after_limit",
-    # r3-green high-risk rows held in the window
-    "strict_error", "stream_each_t", "stream_gate", "stream_rollup",
-    "stream_replication", "stream_restart", "store_roundtrip",
-    "store_remove", "lifecycle_delete", "read_single", "bucketed_join",
-    "ann_lsh", "ann_ivf", "asof_purchase", "range_join", "gapfill_daily",
-    "pack_sequences", "dedup_components", "dedup_keep_best",
-    "winnow_overlap", "minhash_accuracy", "dedup_ngram_jaccard",
-    "dedup_embedding", "curation_report", "ngram_novelty",
-    "shingle_dup_profile", "sim_cosine_topk", "join_salted", "sessionize",
-    "multimodal_meta", "multimodal_frames",
-    # new oracle-gated entries this round (replacing three lower-risk
-    # r3-green rows, which rotate back in later)
-    "dsir_weights", "drift_report",
+# Round-5 driver window (the driver records the FIRST 50 entries).
+# Round 4 rewrote comparison semantics across all three tiers (unordered
+# pairs -> false, never an error), so every entry whose code path that
+# change touched — the 14 `when_*` rows plus the stateful/planner rows
+# that evaluate conditions — leads the window for post-change driver
+# verification (round-4 verdict task #2).  The new stream_ctx entry
+# (cross-batch ctx drain under an oracle) and the store/dedup rows whose
+# driver rows also predate r4 fill the remainder; the pure-DataFrame
+# analytics/text rows (no condition-language involvement, r1/r2-green,
+# untouched since) rotate back next round.
+_R5_WINDOW = [
+    # condition language: comparison semantics changed in r4
+    "when_cmp", "when_logic", "when_arith", "when_rem_divnum",
+    "when_string", "when_date", "when_date_tz", "when_arith2",
+    "when_logic2", "when_string2", "when_date2", "when_in",
+    "when_exists", "when_cast_ref",
+    # stateful/planner rows that evaluate conditions (same change)
+    "each_n", "each_t", "gate", "limit", "strict_mode", "multi_entry",
+    "ctx_padding", "ctx_each_n", "ctx_after_each_n",
+    "ctx_padding_duration", "ext_pipeline", "select_labels",
+    # new this round: #ctx_before x $gate on the STREAMING path
+    "stream_ctx",
+    # store ops driven by `when` conditions, driver rows from r1/r2
+    "scan_time_range", "count", "remove_count", "update_labels",
+    # heavy dedup family, driver rows from r2
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    # r1/r2-only analytics/LLM rows, most complex first
+    "nation_share", "nation_trade", "window_rank", "agg_rollup",
+    "agg_promo_share", "join_topn", "tfidf_topk", "decontaminate",
+    "winnow_fingerprint", "doc_rarity", "embedding_quantize",
+    "stratified_sample", "sample_split", "lang_id", "user_set_ops",
+    "disjunctive_filter",
 ]
-assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
-assert set(_R4_WINDOW) <= QUERIES.keys()
+assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+assert set(_R5_WINDOW) <= QUERIES.keys()
 QUERIES = {k: QUERIES[k]
-           for k in [*_R4_WINDOW,
-                     *(n for n in QUERIES if n not in set(_R4_WINDOW))]}
-
-
-# The BENCH_EXCLUDE gate entries each materialize a store and run a real
-# stream per invocation.  Within one session the result for a given
-# sf_dir is deterministic, so a harness that invokes the same entry more
-# than once (row pass + hash pass, multi-check sweeps) reuses the first
-# run's lazy sink read instead of re-materializing — the scratch dirs
-# are session-scoped, so the cached frame stays readable.
-_GATE_MEMO: dict = {}
-
-
-def _memo_gate(name, fn):
-    def wrap(spark, sf_dir):
-        # the session object itself keys the cache (not id(): a stopped
-        # session's id can be reused after GC)
-        key = (name, sf_dir, spark)
-        if key not in _GATE_MEMO:
-            _GATE_MEMO[key] = fn(spark, sf_dir)
-        return _GATE_MEMO[key]
-    wrap.__name__ = fn.__name__
-    wrap.__doc__ = fn.__doc__
-    return wrap
-
-
-QUERIES = {k: (_memo_gate(k, fn) if k in BENCH_EXCLUDE else fn, sql)
-           for k, (fn, sql) in QUERIES.items()}
+           for k in [*_R5_WINDOW,
+                     *(n for n in QUERIES if n not in set(_R5_WINDOW))]}

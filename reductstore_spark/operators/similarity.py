@@ -40,8 +40,9 @@ def cosine_pd(a: Column, b: Column) -> Column:
     embedding 95 s; numpy batches the same dot products in
     milliseconds).  Same float64 math, same rounding behavior, same null
     semantics as the Column kernel: a NULL embedding or a zero-norm
-    vector yields NULL (the Column path's non-ANSI 0/0 division), not
-    NaN.  Precondition: non-null vectors in one batch share a fixed
+    vector yields NULL (the Column path's non-ANSI 0/0 division), while
+    NaN/Inf vector COMPONENTS yield NaN, exactly as the JVM division
+    does.  Precondition: non-null vectors in one batch share a fixed
     length (embedding tables are fixed-dim; ragged batches are the one
     divergence left undefined)."""
     return _cosine_pd_udf()(a, b)
@@ -67,13 +68,18 @@ def _cosine_pd_udf():
                 lambda v: zero if v is None else v)
         ax = np.asarray(xs.tolist(), dtype=np.float64)
         ay = np.asarray(ys.tolist(), dtype=np.float64)
-        num = (ax * ay).sum(axis=1)
-        den = np.linalg.norm(ax, axis=1) * np.linalg.norm(ay, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
+            num = (ax * ay).sum(axis=1)
+            den = np.linalg.norm(ax, axis=1) * np.linalg.norm(ay, axis=1)
             out = num / den
-        res = pd.Series(out).astype("Float64")
-        res[bad | (den == 0)] = pd.NA
-        return res
+        # NULL only for null-input / zero-norm positions (the Column
+        # path's non-ANSI 0/0); a genuinely computed NaN (NaN/Inf vector
+        # components) stays NaN, as the JVM kernel returns it — a masked
+        # FloatingArray keeps NaN in the value buffer where the mask is
+        # clear, unlike astype("Float64") which folds NaN into NA
+        mask = np.asarray(bad | (den == 0), dtype=bool)
+        return pd.Series(
+            pd.arrays.FloatingArray(np.asarray(out, dtype=np.float64), mask))
 
     _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series,
                             "return": pd.Series}

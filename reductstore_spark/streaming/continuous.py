@@ -71,6 +71,14 @@ def continuous_query(
             # state, which the grouped-state path provides
             raise NotImplementedError(
                 "ctx paddings on continuous queries: use stateful_stream")
+        if "#ext" in directives:
+            # the batch path (query.py) applies the ext pipeline after
+            # filtering; silently dropping it here would yield
+            # untransformed rows under the same `when` — refuse instead
+            raise NotImplementedError(
+                "#ext pipelines on continuous queries: apply "
+                "operators.ext.apply_ext_pipeline per micro-batch "
+                "(foreachBatch) or use the batch query path")
         df = df.where(_predicate(df, node, strict))
         sel = directives.get("#select_labels")
         if sel is not None:

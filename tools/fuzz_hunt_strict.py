@@ -1,0 +1,132 @@
+"""Strict-mode three-tier fuzz hunt (round-5 extension of fuzz_hunt.py).
+
+Non-strict fuzzing compares only the boolean outcome (errors -> excluded);
+strict mode additionally surfaces WHICH error and its exact message — the
+reference aborts the query with that text (filters/when.rs:81-95), so the
+three tiers must agree on (errored?, message, value) per row, not just on
+the filter bit.  This is where $cast of hostile spellings, arithmetic at
+the i64 edges, and missing-reference text diverge first.
+
+Instead of letting strict raise (which aborts the whole frame at the
+first bad row), both column tiers are compiled in message-threading form
+and the (value, emsg) pair is SELECTED per row, then compared against
+the interpreter's try/except outcome row-for-row.
+
+Usage: python tools/fuzz_hunt_strict.py [first_seed] [n_seeds]
+"""
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from reductstore_spark.condition import values as V  # noqa: E402
+from reductstore_spark.condition.columns import (  # noqa: E402
+    ColumnCompiler,
+    _as_bool,
+)
+from reductstore_spark.condition.fastcols import (  # noqa: E402
+    FlatCompiler,
+    Unsupported,
+    _emsg,
+    _truthy,
+)
+from reductstore_spark.condition.interpreter import (  # noqa: E402
+    Context,
+    Evaluator,
+)
+from reductstore_spark.condition.parser import parse_when  # noqa: E402
+from reductstore_spark.session import get_session  # noqa: E402
+from test_condition_fuzz import gen_cond, gen_rows  # noqa: E402
+
+FIRST = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+
+def interp_strict(node, ts, labels):
+    """(value_or_None, errmsg_or_None) — the reference's strict outcome."""
+    try:
+        return V.as_bool(Evaluator(node).apply(Context(ts, labels))), None
+    except V.CondError as e:
+        return None, str(e)
+
+
+def main():
+    spark = get_session("fuzzstrict", master="local[16]",
+                        shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    total_conds = 0
+    total_finds = 0
+    for seed in range(FIRST, FIRST + N):
+        rng = random.Random(seed)
+        rows = gen_rows(rng, 30)
+        conds = []
+        while len(conds) < 30:
+            c = gen_cond(rng, 3)
+            try:
+                node, _ = parse_when(json.loads(json.dumps(c)))
+            except V.CondError:
+                continue
+            conds.append((c, node))
+        df = spark.createDataFrame(
+            rows, "ts long, labels map<string,string>").coalesce(1)
+        cols, meta = [], []
+        for i, (c, node) in enumerate(conds):
+            sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+            cols.append(_as_bool(sv).alias(f"s{i}v"))
+            cols.append(sv["e"].alias(f"s{i}e"))
+            try:
+                fc = FlatCompiler(F.col("ts"), F.col("labels"), strict=True)
+                fv = fc.compile(node)
+                cols.append(F.coalesce(_truthy(fv), F.lit(False))
+                            .alias(f"f{i}v"))
+                cols.append(_emsg(fv).alias(f"f{i}e"))
+                meta.append((c, node, True))
+            except Unsupported:
+                meta.append((c, node, False))
+        try:
+            res = df.select(*cols).collect()
+        except Exception as e:  # noqa: BLE001 — a codegen crash IS a find
+            print(f"[seed {seed}] JOB-LEVEL ERROR: {type(e).__name__}: "
+                  f"{str(e)[:400]}")
+            total_finds += 1
+            continue
+        total_conds += len(conds)
+        for i, (c, node, flat_ok) in enumerate(meta):
+            want = [interp_strict(node, ts, lb) for ts, lb in rows]
+            for tier, vcol, ecol, on in (
+                    ("struct", f"s{i}v", f"s{i}e", True),
+                    ("flat", f"f{i}v", f"f{i}e", flat_ok)):
+                if not on:
+                    continue
+                for r, (wv, we), (ts, lb) in zip(res, want, rows):
+                    gv, ge = r[vcol], r[ecol]
+                    if we is not None:
+                        if ge != we:
+                            print(f"[seed {seed}] {tier} STRICT-MSG "
+                                  f"DIVERGES: cond={json.dumps(c)} "
+                                  f"row=({ts},{lb}) got={ge!r} "
+                                  f"want={we!r}")
+                            total_finds += 1
+                            break
+                    else:
+                        if ge is not None or bool(gv) != bool(wv):
+                            print(f"[seed {seed}] {tier} STRICT-VAL "
+                                  f"DIVERGES: cond={json.dumps(c)} "
+                                  f"row=({ts},{lb}) got=({gv},{ge!r}) "
+                                  f"want=({wv},None)")
+                            total_finds += 1
+                            break
+        if (seed - FIRST + 1) % 25 == 0:
+            print(f"... {seed - FIRST + 1}/{N} seeds, {total_conds} conds, "
+                  f"{total_finds} finds", flush=True)
+    print(f"DONE: {N} seeds, {total_conds} conditions, {total_finds} finds")
+
+
+if __name__ == "__main__":
+    main()
