@@ -570,7 +570,9 @@ class ColumnCompiler:
         ts_us = _to_i(ops[0])
         ts_err = F.when(
             (ops[0]["t"] == TSTR),
-            F.lit("could not be parsed as integer"),
+            # value.rs:87 as_int error carries the text
+            F.concat(F.lit("Value '"), ops[0]["s"],
+                     F.lit("' could not be parsed as integer")),
         )
         # date.rs:40-46 — chrono rejects timestamps outside its range
         oob = (ts_us > F.lit(V.TS_US_MAX)) | (ts_us < F.lit(V.TS_US_MIN))

@@ -872,7 +872,10 @@ class FlatCompiler:
                          | (ts_us < F.lit(V.TS_US_MIN)), F.lit(False))
         err = _arith_err(tsv) | oob
         emsg = self._m(tsv.emsg,
-                       self._mw(_is_str(tsv), "could not be parsed as integer"),
+                       # value.rs:87 as_int error carries the text
+                       self._mw(_is_str(tsv), F.concat(
+                           F.lit("Value '"), _str_repr(tsv),
+                           F.lit("' could not be parsed as integer"))),
                        self._mw(oob, F.concat(
                            F.lit(f"{name} requires a valid timestamp in "
                                  f"microseconds, got "),

@@ -332,3 +332,35 @@ def test_unordered_comparisons_false_all_tiers(spark):
             pred = mk(F.col("ts"), F.col("labels")).predicate(node)
             got = df.select(pred.alias("p")).collect()[0]["p"]
             assert got == want, (mk.__name__, cond, got, want)
+
+
+def test_date_parse_error_message_carries_value_all_tiers(spark):
+    """value.rs:87 — as_int on an unparseable string reports
+    "Value '<text>' could not be parsed as integer"; both column tiers
+    must thread the ORIGINAL text into the strict message exactly like
+    the interpreter (round-5 strict fuzz find, seed 5000: the date
+    operators dropped the "Value '...'" prefix)."""
+    from reductstore_spark.condition import values as V
+    from reductstore_spark.condition.fastcols import FlatCompiler
+    from reductstore_spark.condition.interpreter import Context, Evaluator
+
+    cond = {"$gte": [{"$day": ["&b", "Europe/Berlin"]}, 10]}
+    node, _ = parse_when(cond)
+    want = "Value '1h30m' could not be parsed as integer"
+
+    try:
+        Evaluator(node).apply(Context(0, {"b": "1h30m"}))
+        raise AssertionError("interpreter should raise")
+    except V.CondError as e:
+        assert str(e) == want, str(e)
+
+    df = spark.createDataFrame([(0, {"b": "1h30m"})],
+                               "ts long, labels map<string,string>")
+    for mk, kw in ((FlatCompiler, {"strict": True}), (ColumnCompiler, {})):
+        c = mk(F.col("ts"), F.col("labels"), **kw)
+        pred = c.predicate(node) if kw else c.predicate(node, strict=True)
+        try:
+            df.select(pred.alias("p")).collect()
+            raise AssertionError(f"{mk.__name__} should raise")
+        except Exception as e:  # noqa: BLE001
+            assert want in str(e), (mk.__name__, str(e))
