@@ -19,6 +19,8 @@ import hashlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+
+from .text import spread_python_stage
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -78,7 +80,8 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 })
             yield pd.DataFrame(out)
 
-    return df.select(id_col, "payload", "content_type").mapInPandas(
+    return spread_python_stage(
+        df.select(id_col, "payload", "content_type")).mapInPandas(
         run, schema=MEDIA_META_SCHEMA)
 
 
@@ -113,7 +116,8 @@ def resize_stub(df: DataFrame, width: int, height: int,
                              "width": width, "height": height})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+    return spread_python_stage(df.select(id_col, "payload")).mapInPandas(
+        run, schema=schema)
 
 
 def feature_vector_stub(df: DataFrame, dim: int = 16,
@@ -146,7 +150,8 @@ def feature_vector_stub(df: DataFrame, dim: int = 16,
                 vecs.append(v.astype(np.float32).tolist())
             yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
-    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+    return spread_python_stage(df.select(id_col, "payload")).mapInPandas(
+        run, schema=schema)
 
 
 def frame_sample_stub(df: DataFrame, every_n: int, id_col: str = "doc_id") -> DataFrame:

@@ -50,6 +50,23 @@ def fingerprint_digest(fps: Column) -> Column:
     return F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))))
 
 
+def spread_python_stage(df):
+    """Decouple a CPU-bound Arrow/Python stage from byte-based scan
+    splits.  Spark sizes scan partitions by BYTES (maxPartitionBytes),
+    tuned for JVM columnar scans; per-character Python work (md5
+    k-grams, media decode) costs ~10^3 more per byte, so a compact
+    table — one split — runs the whole stage on ONE core at any data
+    size (round-5 sf3 soak: winnow_fingerprint went 4.2x for 3x data,
+    single-core).  Repartition the slim projection up to the session's
+    parallelism when the scan yields fewer splits; a no-op at real
+    scale, where splits >> cores."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def winnow_digests_pandas(df, id_col: str = "doc_id", text_col: str = "text",
                           k: int = 8, w: int = 4):
     """(id, n_fps, fp_digest) via an Arrow-batched mapInPandas stage.
@@ -110,7 +127,7 @@ def winnow_digests_pandas(df, id_col: str = "doc_id", text_col: str = "text",
                 "fp_digest": digests,
             })
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread_python_stage(df.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} bigint, n_fps bigint, fp_digest string")
 
 
@@ -157,5 +174,5 @@ def winnow_fp_rows_pandas(df, id_col: str = "doc_id",
             yield pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
                                 "fp": np.asarray(fps, dtype=np.int64)})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread_python_stage(df.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} bigint, fp bigint")

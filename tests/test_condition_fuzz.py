@@ -217,3 +217,65 @@ def test_fuzz_strict_flat_vs_struct(spark, seed):
         elif flat[0] == "raise" and flat[1] != struct[1]:
             failures.append(("message-mismatch", c, labels, flat, struct))
     assert not failures, failures[:3]
+
+
+@pytest.mark.parametrize("seed", [5000, 5017])
+def test_strict_fuzz_three_tiers_message_parity(spark, seed):
+    """CI form of tools/fuzz_hunt_strict.py (round 5): both column tiers
+    compiled in message-threading form, the per-row (value, emsg) pair
+    SELECTED (not raised) and compared against the interpreter's
+    try/except outcome — (errored?, exact message, value) must agree on
+    every row.  Seed 5000 found the date-operator Value-prefix drop."""
+    from reductstore_spark.condition.columns import _as_bool
+    from reductstore_spark.condition.fastcols import _emsg, _truthy
+
+    rng = random.Random(seed)
+    rows = gen_rows(rng, 25)
+    conds = []
+    while len(conds) < 20:
+        c = gen_cond(rng, 3)
+        try:
+            node, _ = parse_when(json.loads(json.dumps(c)))
+        except V.CondError:
+            continue
+        conds.append((c, node))
+    df = spark.createDataFrame(
+        rows, "ts long, labels map<string,string>").coalesce(1)
+    cols, meta = [], []
+    for i, (c, node) in enumerate(conds):
+        sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+        cols.append(_as_bool(sv).alias(f"s{i}v"))
+        cols.append(sv["e"].alias(f"s{i}e"))
+        try:
+            fv = FlatCompiler(F.col("ts"), F.col("labels"),
+                              strict=True).compile(node)
+            cols.append(F.coalesce(_truthy(fv), F.lit(False)).alias(f"f{i}v"))
+            cols.append(_emsg(fv).alias(f"f{i}e"))
+            meta.append((c, node, True))
+        except Unsupported:
+            meta.append((c, node, False))
+    res = df.select(*cols).collect()
+
+    def interp(node, ts, labels):
+        try:
+            return V.as_bool(Evaluator(node).apply(Context(ts, labels))), None
+        except V.CondError as e:
+            return None, str(e)
+
+    failures = []
+    for i, (c, node, flat_ok) in enumerate(meta):
+        want = [interp(node, ts, lb) for ts, lb in rows]
+        for tier, vcol, ecol, on in (("struct", f"s{i}v", f"s{i}e", True),
+                                     ("flat", f"f{i}v", f"f{i}e", flat_ok)):
+            if not on:
+                continue
+            for r, (wv, we), (ts, lb) in zip(res, want, rows):
+                gv, ge = r[vcol], r[ecol]
+                if we is not None:
+                    if ge != we:
+                        failures.append((tier, c, lb, "msg", ge, we))
+                        break
+                elif ge is not None or bool(gv) != bool(wv):
+                    failures.append((tier, c, lb, "val", (gv, ge), wv))
+                    break
+    assert not failures, failures[:3]
