@@ -228,8 +228,14 @@ _SCI_RE = r"^-?([0-9]+)\.([0-9]+)E(-?[0-9]+)$"
 
 
 def _neg_zero(num: Column) -> Column:
-    """f64 negative zero (Rust Display renders it '-0', not '0')."""
-    return (num == F.lit(0.0)) & (F.lit(1.0) / num == F.lit(float("-inf")))
+    """f64 negative zero (Rust Display renders it '-0', not '0').
+
+    NOT via the IEEE 1/x == -inf probe: Spark's non-ANSI division NULLs
+    any zero divisor — doubles included — so the probe never fired on a
+    runtime-computed -0.0 ($div[0, -1]) and the display fell through to
+    '0' (fuzz seeds 3079/3100).  Java's Double.toString keeps the sign
+    bit ('-0.0'), so the string cast is the reliable signbit test."""
+    return (num == F.lit(0.0)) & num.cast("string").startswith("-")
 
 
 def _expand_sci_col(num: Column) -> Column:

@@ -364,3 +364,43 @@ def test_date_parse_error_message_carries_value_all_tiers(spark):
             raise AssertionError(f"{mk.__name__} should raise")
         except Exception as e:  # noqa: BLE001
             assert want in str(e), (mk.__name__, str(e))
+
+
+def test_negative_zero_display_all_tiers(spark):
+    """Rust Display renders f64 -0.0 as '-0'; the Column tiers' signbit
+    probe (1/x == -inf) never fired because Spark's non-ANSI division
+    NULLs zero divisors, so a runtime-computed -0.0 displayed '0'
+    (round-5 fuzz, seeds 3079/3100 — $contains saw the wrong text)."""
+    from reductstore_spark.condition import values as V
+    from reductstore_spark.condition.fastcols import FlatCompiler, Unsupported
+    from reductstore_spark.condition.interpreter import Context, Evaluator
+
+    cases = [
+        # seed 3100: display($div[0, -1]) must be '-0'; '0.5' contains it? no
+        ({"$contains": ["&a", {"$div": [0, "&b"]}]},
+         {"a": ".5", "b": "-1"}, False),
+        # seed 3079: duration/float -0.0 display under $contains
+        ({"$contains": [{"$add": ["&sparse", "&c"]},
+                        {"$div": ["0s", "&sparse"]}]},
+         {"a": "0s", "b": "0", "c": "007.5",
+          "sparse": "-9223372036854775809"}, False),
+        # positive pin of the display itself
+        ({"$eq": [{"$cast": [{"$div": [0, "&b"]}, "string"]}, "-0"]},
+         {"b": "-1"}, True),
+        # positive zero stays '0'
+        ({"$eq": [{"$cast": [{"$div": [0, "&pos"]}, "string"]}, "0"]},
+         {"pos": "1"}, True),
+    ]
+    for cond, labels, want in cases:
+        node, _ = parse_when(cond)
+        assert bool(V.as_bool(Evaluator(node).apply(Context(0, labels)))) \
+            == want, ("interp", cond)
+        df = spark.createDataFrame([(0, labels)],
+                                   "ts long, labels map<string,string>")
+        for mk in (FlatCompiler, ColumnCompiler):
+            try:
+                pred = mk(F.col("ts"), F.col("labels")).predicate(node)
+            except Unsupported:
+                continue
+            got = df.select(pred.alias("p")).collect()[0]["p"]
+            assert got == want, (mk.__name__, cond, got, want)
