@@ -134,12 +134,19 @@ def _decode_ext_steps(ext_spec):
 
 
 def _apply_one(df: DataFrame, transform) -> DataFrame:
+    from .text import spread_python_stage
     cols = df.columns
     ser = (
         df.withColumn("__labels_json", F.to_json("labels"))
         .withColumn("__computed_json", F.to_json("computed_labels"))
         .drop("labels", "computed_labels")
     )
+    # CPU-bound Python stage: decouple from byte-based scan splits (a
+    # compact store would run the whole pipeline one-core; records are
+    # transformed independently and the query's final sort re-orders,
+    # so the repartition is semantics-free).  Batch-only path —
+    # continuous_query raises for #ext.
+    ser = spread_python_stage(ser)
     out_schema = ser.schema
 
     def run(batches: Iterator) -> Iterator:
