@@ -299,9 +299,9 @@ class Evaluator:
         if ctx.timestamp < self._last_ts:
             self._last_ts = ctx.timestamp
             return V.vbool(False)
-        # (s * 1e6) as u64 in Rust: truncation, negatives/NaN saturate to 0
-        thresh = s * 1_000_000.0
-        thresh_us = 0 if (thresh != thresh or thresh < 0) else int(thresh)
+        # (s * 1e6) as u64 in Rust: truncate, negatives/NaN -> 0,
+        # inf -> u64::MAX ("inf"/"1e309" label values parse to f64 inf)
+        thresh_us = V._f64_as_u64(s * 1_000_000.0)
         ret = ctx.timestamp - self._last_ts >= thresh_us
         if ret:
             self._last_ts = ctx.timestamp
@@ -319,7 +319,9 @@ class Evaluator:
         if dval.kind == V.DURATION:
             duration = V.as_int(dval)
         else:
-            duration = int(V.as_float(dval) * 1_000_000.0)
+            # gate.rs:50 `(f * 1e6) as i64`: saturating Rust cast — a
+            # float inf duration must not raise (Python int(inf) would)
+            duration = V._f64_as_i64(V.as_float(dval) * 1_000_000.0)
         duration = max(0, duration)
         inp = V.as_bool(self.children[1].apply(ctx))
 

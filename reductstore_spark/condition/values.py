@@ -213,6 +213,19 @@ def _f64_as_i64(f: float) -> int:
     return int(f)  # Python int() truncates toward zero
 
 
+U64_MAX = 2**64 - 1
+
+
+def _f64_as_u64(f: float) -> int:
+    """Rust ``f64 as u64``: truncate toward zero, saturate, NaN -> 0
+    (negatives and NaN clamp to the 0 bound; inf to u64::MAX)."""
+    if f != f or f <= 0:
+        return 0
+    if f >= 2**64:
+        return U64_MAX
+    return int(f)
+
+
 def _fmt_float(f: float) -> str:
     """Rust ``{}`` Display for f64: 1.0 -> '1', 0.5 -> '0.5'.
 

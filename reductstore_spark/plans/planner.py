@@ -455,11 +455,12 @@ def _rewrite_time_stateful(df: DataFrame, node: Node, strict: bool,
     try:
         if sf.name == "$each_t":
             s = V.as_float(v) / 1e6 if v.kind == V.DURATION else V.as_float(v)
-            thresh = s * 1e6
-            period_us = 0 if (thresh != thresh or thresh < 0) else int(thresh)
+            # Rust `as u64`: NaN/negative -> 0, inf -> u64::MAX
+            period_us = V._f64_as_u64(s * 1e6)
         else:
+            # gate.rs:50 `as i64` saturating cast, then the 0 clamp
             dur = V.as_int(v) if v.kind == V.DURATION \
-                else int(V.as_float(v) * 1e6)
+                else V._f64_as_i64(V.as_float(v) * 1e6)
             period_us = max(0, dur)
     except CondError:
         return None  # operand errors per-record -> interpreter replays it

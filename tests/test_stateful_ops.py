@@ -199,3 +199,48 @@ class TestWhenFilterPipeline:
             run_filter({"#select_labels": [1], "&v": {"$eq": 1}}, self.RECORDS)
         with pytest.raises(CondError):
             run_filter({"#bogus": 1, "&v": {"$eq": 1}}, self.RECORDS)
+
+
+def test_gate_and_each_t_duration_saturates_like_rust_casts():
+    """gate.rs:50 `(f * 1e6) as i64` and each_t.rs:59 `(s * 1e6) as u64`
+    are SATURATING Rust casts: a float inf duration ("inf"/"1e309" label
+    values parse to f64 inf) clamps to the integer max, NaN to 0 —
+    Python's int(inf) would raise instead (round-5 audit find).  Pinned
+    on the interpreter tier; the planner mirrors via _f64_as_i64/u64."""
+    from reductstore_spark.condition.interpreter import Context, Evaluator
+    from reductstore_spark.condition.parser import parse_when
+
+    def run(when, rows):
+        node, _ = parse_when(when)
+        ev = Evaluator(node)
+        return [bool(V.as_bool(ev.apply(Context(ts, lb)))) for ts, lb in rows]
+
+    # inf gate duration: window opens on the rising edge and never expires
+    rows = [(1, {"d": "inf", "x": "1"}), (10**15, {"d": "inf", "x": "1"})]
+    assert run({"$gate": ["&d", {"&x": {"$eq": 1}}]}, rows) == [True, True]
+    # NaN gate duration -> 0: deadline = ts, never inside the window
+    rows = [(1, {"d": "nan", "x": "1"}), (2, {"d": "nan", "x": "1"})]
+    assert run({"$gate": ["&d", {"&x": {"$eq": 1}}]}, rows) == [False, False]
+    # inf each_t period -> u64::MAX: first primes, nothing ever elapses
+    rows = [(1, {"p": "1e309"}), (10**15, {"p": "1e309"})]
+    assert run({"$each_t": "&p"}, rows) == [False, False]
+    # NaN each_t period -> 0: every record elapses
+    rows = [(1, {"p": "nan"}), (2, {"p": "nan"})]
+    assert run({"$each_t": "&p"}, rows) == [True, True]
+
+
+def test_gate_constant_inf_duration_through_planner(spark):
+    """The planner's plan-time derivation for a CONSTANT "inf" gate
+    duration must saturate, not crash, and match the interpreter replay:
+    every input-true record after the rising edge stays kept."""
+    from reductstore_spark.query import QueryEngine
+
+    rows = [("b", "e", t, None, "", 1, {"v": str(50 + t % 100)}, None)
+            for t in range(1, 2_000_000, 100_000)]
+    df = spark.createDataFrame(
+        rows, "bucket string, entry string, ts long, payload binary, "
+              "content_type string, state int, labels map<string,string>, "
+              "computed_labels map<string,string>")
+    got = QueryEngine().query(df, when={"$gate": ["inf", {"&v": {"$gt": 0}}]},
+                              ordered=False).count()
+    assert got == len(rows)  # window never expires, input always true
