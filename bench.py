@@ -67,13 +67,48 @@ def main() -> None:
         total += best
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    result = {
         "metric": "sum of per-query wall seconds over the SURVEY §2 inventory",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # full-precision artifact on disk: the authoritative per-query map,
+    # immune to any stdout capture truncation
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    # The driver keeps only the LAST ~2000 chars of stdout; the previous
+    # full-precision single line exceeded that, got its HEAD cut, and
+    # parsed as null (BENCH_r04/r05).  So the ONE printed JSON line is a
+    # compact variant guaranteed to fit the capture window: 2-decimal
+    # timings, no-space separators, and if the query set ever outgrows
+    # the budget, the fastest entries are dropped (slowest kept — they
+    # carry the signal) with an explicit counter and a pointer to the
+    # full file.
+    budget = 1900
+    compact = dict(result)
+    compact["metric"] = "sum per-query wall sec (SURVEY §2)"
+    q2 = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps({**compact, "queries": q2}, separators=(",", ":"))
+    if len(line) > budget:
+        by_time = sorted(q2.items(), key=lambda kv: -kv[1])
+        kept: dict = {}
+        for k, v in by_time:
+            trial = json.dumps(
+                {**compact, "queries": {**kept, k: v},
+                 "queries_omitted": len(q2), "queries_full": "BENCH_LOCAL.json"},
+                separators=(",", ":"))
+            if len(trial) > budget:
+                break
+            kept[k] = v
+        line = json.dumps(
+            {**compact, "queries": kept,
+             "queries_omitted": len(q2) - len(kept),
+             "queries_full": "BENCH_LOCAL.json"}, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

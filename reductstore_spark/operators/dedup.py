@@ -195,11 +195,16 @@ def minhash_lsh_pairs(
 
 
 def simhash32(text: Column) -> Column:
-    """32-bit SimHash over unigram tokens.
+    """32-bit SimHash over unigram tokens — Column (HOF) form.
 
     Per token: h = first 8 hex chars of md5 (a 32-bit int); bit b of the
     result is 1 iff sum over tokens of (2*bit_b(h) - 1) > 0.  Portable:
-    only md5 + integer arithmetic."""
+    only md5 + integer arithmetic.
+
+    The nested ``aggregate``/``transform``/``zip_with`` fold evaluates
+    *interpreted* (per element, per bit — no whole-stage codegen); keep
+    this form for single-row/embedded use and prefer
+    :func:`simhash32_table` in any table-scale path (~10x faster)."""
     words = F.array_distinct(normalized_words(text))
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
@@ -220,6 +225,54 @@ def simhash32(text: Column) -> Column:
                    lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b.cast("double"))
                                        .cast("long")).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash32_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """32-bit SimHash per row — exploded whole-stage-codegen form.
+
+    Same formula as :func:`simhash32` (bit b of the result is 1 iff the
+    sum over distinct tokens of ``2*bit_b(md5_32(token)) - 1`` is
+    positive), evaluated as flat columns: distinct tokens are exploded,
+    one 32-bit md5 prefix is computed per (doc, token) row, the 32
+    bit-votes are plain shift/mask integer expressions over it (all
+    whole-stage codegen), and ``groupBy(id).sum`` folds them with
+    map-side combine.  Mirrors the r2 exploded rewrite of
+    ``minhash_lsh_pairs`` — the HOF fold it replaces evaluated
+    interpreted, per element per bit, ~10x slower at corpus scale.
+
+    The one shuffle carries (id, 32 small ints) — never the token
+    strings.  Requires non-null ``text_col``: a null text produces no
+    token rows, so its id would drop from the output (callers own that
+    contract; every corpus table here is non-null).
+
+    Returns a DataFrame with columns (``id_col``, ``out_col``).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(normalized_words(F.col(text_col))))
+        .alias("__w"))
+    # separate select so the md5+conv evaluates once per row; the 32
+    # vote expressions below reference the materialized __h column
+    hashed = toks.select(
+        "__id",
+        F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10)
+        .cast("long").alias("__h"))
+    votes = hashed.select("__id", *[
+        (F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"__v{b}") for b in range(32)])
+    summed = votes.groupBy("__id").agg(
+        *[F.sum(f"__v{b}").alias(f"__v{b}") for b in range(32)])
+    sig: Column = F.lit(0).cast("long")
+    for b in range(32):
+        sig = sig + F.when(F.col(f"__v{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(
+                               F.lit(0).cast("long"))
+    return summed.select(F.col("__id").alias(id_col), sig.alias(out_col))
 
 
 def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -46,15 +46,54 @@ def _escape_path_name(s: str) -> str:
     return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in s)
 
 
+class InsufficientStorage(Exception):
+    """Filesystem under the store root cannot fit the incoming batch
+    (bucket/quotas.rs:19-42 ``check_free_disk_space``, PR-1525)."""
+
+
 class QuotaExceeded(Exception):
     """HARD quota rejection (QuotaType::HARD, bucket/quotas.rs)."""
 
 
 class RecordStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 free_space_fn=None):
         self.spark = spark
         self.root = root
+        # injectable for tests, mirroring the reference's FreeSpaceFn
+        # (bucket.rs:56-57 default_free_space_fn -> fs4::available_space)
+        self.free_space_fn = free_space_fn or self._default_free_space
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    @staticmethod
+    def _default_free_space(path: str) -> int:
+        import shutil
+
+        # the store root may not exist before the first write — probe the
+        # nearest existing ancestor (that's the filesystem that will hold
+        # the data folder)
+        probe = path
+        while probe and not os.path.exists(probe):
+            parent = os.path.dirname(probe)
+            if parent == probe:
+                break
+            probe = parent
+        return shutil.disk_usage(probe or os.sep).free
+
+    def _check_free_disk_space(self, content_size: int) -> None:
+        """Reject the batch before writing when the data-folder filesystem
+        lacks free space for it, in addition to any quota — PR-1525
+        (bucket/quotas.rs:19-42 ``check_free_disk_space``)."""
+        available = self.free_space_fn(self.root)
+        if content_size > available:
+            raise InsufficientStorage(
+                f"Not enough free disk space in the data folder to write "
+                f"a record of {content_size} bytes: only {available} "
+                f"bytes available")
+
+    def _incoming_bytes(self, df: DataFrame) -> int:
+        return df.agg(F.sum(F.coalesce(
+            F.length("payload"), F.lit(0)))).collect()[0][0] or 0
 
     def _raw(self) -> DataFrame:
         """The on-disk table incl. internal columns; a store whose every
@@ -199,21 +238,22 @@ class RecordStore:
         settings (HARD rejects before writing, FIFO evicts after —
         bucket/quotas.rs:20-110).  ``max_storage_bytes``: global storage
         cap across ALL buckets enforced on the write path
-        (RS_ENGINE_MAX_STORAGE_SIZE analog, PR-1263)."""
+        (RS_ENGINE_MAX_STORAGE_SIZE analog, PR-1263).  Also rejects the
+        batch when the data-folder filesystem lacks free space (PR-1525,
+        before any quota math or write)."""
         buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
         plans = {b: self.get_bucket_settings(b, defaults) for b in buckets}
+        total_incoming = self._incoming_bytes(df)
+        self._check_free_disk_space(total_incoming)
         if max_storage_bytes is not None:
-            incoming = df.agg(F.sum(F.coalesce(
-                F.length("payload"), F.lit(0)))).collect()[0][0] or 0
-            if self.total_size() + incoming > max_storage_bytes:
+            if self.total_size() + total_incoming > max_storage_bytes:
                 raise QuotaExceeded(
                     f"write would exceed the engine storage cap of "
                     f"{max_storage_bytes} bytes")
         for b, st in plans.items():
             if st["quota_type"] == "HARD" and st["quota_size"] > 0:
                 part = df.where(F.col("bucket") == b)
-                incoming = part.agg(F.sum(F.coalesce(
-                    F.length("payload"), F.lit(0)))).collect()[0][0] or 0
+                incoming = self._incoming_bytes(part)
                 if self.bucket_size(b) + incoming > st["quota_size"]:
                     raise QuotaExceeded(
                         f"bucket '{b}' would exceed the hard quota of "
@@ -484,10 +524,12 @@ class RecordStore:
                          quota_bytes: int = 0) -> None:
         """Write with quota enforcement (bucket/quotas.rs:20-110):
         HARD rejects the batch when over quota; FIFO evicts the oldest
-        day partitions after the write."""
+        day partitions after the write.  The free-disk check (PR-1525)
+        runs first — it complements the quota and rejects before any
+        data is written."""
+        incoming = self._incoming_bytes(df)
+        self._check_free_disk_space(incoming)
         if quota_type == "HARD" and quota_bytes > 0:
-            incoming = df.agg(
-                F.sum(F.coalesce(F.length("payload"), F.lit(0)))).collect()[0][0] or 0
             buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
             for b in buckets:
                 if self.bucket_size(b) + incoming > quota_bytes:

@@ -8,6 +8,7 @@ from reductstore_spark.operators.dedup import (
     jaccard,
     minhash_lsh_pairs,
     simhash32,
+    simhash32_table,
     word_shingles,
 )
 from reductstore_spark.operators.multimodal import (
@@ -63,6 +64,20 @@ def test_simhash_close_for_near_dups(docs):
     ham_near = bin(out[1] ^ out[2]).count("1")
     ham_far = bin(out[1] ^ out[3]).count("1")
     assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_simhash_table_matches_column_form(docs):
+    """The exploded-codegen table form computes the exact same signature
+    as the HOF Column form it replaces in hot paths."""
+    col_form = {r["doc_id"]: r["simhash"] for r in
+                docs.select("doc_id",
+                            simhash32(F.col("text")).alias("simhash")).collect()}
+    tbl_form = {r["doc_id"]: r["simhash"] for r in
+                simhash32_table(docs, "doc_id", "text").collect()}
+    assert tbl_form == col_form
+    # every input id survives (non-null text contract) and range is 32-bit
+    assert set(tbl_form) == {1, 2, 3, 4}
+    assert all(0 <= v < 2 ** 32 for v in tbl_form.values())
 
 
 @pytest.fixture(scope="module")

@@ -212,6 +212,38 @@ def test_global_storage_cap(spark, tmp_path):
                                   max_storage_bytes=store.total_size())
 
 
+def test_free_disk_space_guard(spark, tmp_path):
+    """PR-1525 (bucket/quotas.rs:19-42 check_free_disk_space): reject the
+    batch BEFORE writing when the data-folder filesystem lacks free space
+    for it, in addition to quota — even when the quota would pass."""
+    from reductstore_spark.sources.store import (
+        InsufficientStorage, RecordStore)
+
+    probed = []
+
+    def tiny_disk(path):
+        probed.append(path)
+        return 50  # bytes free
+
+    store = RecordStore(spark, str(tmp_path / "d"), free_space_fn=tiny_disk)
+    rows = [("b", "e", 1, b"x" * 200, "", 1, {}, {})]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(InsufficientStorage, match="only 50 bytes available"):
+        store.write_with_settings(df)
+    with pytest.raises(InsufficientStorage):
+        store.write_with_quota(df, quota_type="NONE")
+    # rejected before any data landed
+    assert store.total_size() == 0 and probed
+    # a batch that fits passes the guard and writes normally
+    small = [("b", "e", 1, b"x" * 10, "", 1, {}, {})]
+    store.write_with_settings(spark.createDataFrame(small, SCHEMA))
+    assert store.read().count() == 1
+    # default free_space_fn probes the real filesystem (root may not
+    # exist before the first write — nearest-ancestor fallback)
+    real = RecordStore(spark, str(tmp_path / "nope" / "deeper"))
+    assert real.free_space_fn(real.root) > 0
+
+
 def test_records_from_table_generic_ingest(spark, sf_dir, tmp_path):
     """The generic tabular->records mapping reproduces the hand-written
     events adapter on the driver corpus and round-trips through a store
