@@ -661,7 +661,11 @@ class FlatCompiler:
             res = False if c is None else {
                 "$gt": c > 0, "$gte": c >= 0,
                 "$lt": c < 0, "$lte": c <= 0}[name]
-            return FV(num=F.lit(res).cast("double"), err=base_err, numeric_only=True)
+            # fold to a true Bool CONSTANT — consts can't error, and the
+            # kind must survive for downstream error text ($add of a
+            # string to this must say "to boolean", not "to integer";
+            # fuzz seed 6000)
+            return FV(const=V.vbool(res))
 
         sa, sb = _is_str(a), _is_str(b)
         # string vs non-string: Rust PartialOrd partial_cmp None -> FALSE

@@ -252,27 +252,102 @@ def simhash32_table(
 
     Returns a DataFrame with columns (``id_col``, ``out_col``).
     """
+    return _simhash_halves_table(df, id_col, text_col, [(1, out_col)])
+
+
+def simhash64_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+) -> DataFrame:
+    """64-bit SimHash per row, as two 32-bit halves (hi from md5 hex
+    chars 1-8, lo from 9-16) — the width the Manku/Jain/Sarma simhash
+    dedup design assumes (WWW'07: 64-bit fingerprints, hamming <= 3).
+    Kept as two longs so every bit operation stays in exact non-negative
+    i64 arithmetic on both Spark and the SQL oracle.  Same exploded
+    whole-stage-codegen shape as :func:`simhash32_table`; the one
+    shuffle carries (id, 64 small ints)."""
+    return _simhash_halves_table(
+        df, id_col, text_col, [(1, hi_col), (9, lo_col)])
+
+
+def _simhash_halves_table(df, id_col, text_col, halves) -> DataFrame:
+    """Shared exploded-codegen simhash core: one 32-bit md5-prefix hash
+    per (doc, distinct token, half), 32 flat shift/mask bit-votes per
+    half, one map-side-combined groupBy sum, flat signature reassembly.
+    ``halves``: list of (md5 hex start char, output column name)."""
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(normalized_words(F.col(text_col))))
         .alias("__w"))
-    # separate select so the md5+conv evaluates once per row; the 32
-    # vote expressions below reference the materialized __h column
+    # separate select so each md5+conv evaluates once per row; the vote
+    # expressions below reference the materialized __h columns
     hashed = toks.select(
         "__id",
-        F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10)
-        .cast("long").alias("__h"))
+        *[F.conv(F.substring(F.md5("__w"), start, 8), 16, 10)
+          .cast("long").alias(f"__h{j}")
+          for j, (start, _out) in enumerate(halves)])
     votes = hashed.select("__id", *[
-        (F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"__v{b}") for b in range(32)])
+        (F.shiftright(F.col(f"__h{j}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"__v{j}_{b}")
+        for j in range(len(halves)) for b in range(32)])
     summed = votes.groupBy("__id").agg(
-        *[F.sum(f"__v{b}").alias(f"__v{b}") for b in range(32)])
-    sig: Column = F.lit(0).cast("long")
-    for b in range(32):
-        sig = sig + F.when(F.col(f"__v{b}") > 0,
-                           F.lit(1 << b).cast("long")).otherwise(
-                               F.lit(0).cast("long"))
-    return summed.select(F.col("__id").alias(id_col), sig.alias(out_col))
+        *[F.sum(f"__v{j}_{b}").alias(f"__v{j}_{b}")
+          for j in range(len(halves)) for b in range(32)])
+    sigs = []
+    for j, (_start, out) in enumerate(halves):
+        sig: Column = F.lit(0).cast("long")
+        for b in range(32):
+            sig = sig + F.when(F.col(f"__v{j}_{b}") > 0,
+                               F.lit(1 << b).cast("long")).otherwise(
+                                   F.lit(0).cast("long"))
+        sigs.append(sig.alias(out))
+    return summed.select(F.col("__id").alias(id_col), *sigs)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash hamming distance — the
+    Manku/Jain/Sarma web-dedup design (WWW'07), Spark-first.
+
+    Pigeonhole banding: two signatures within hamming <= 3 agree
+    EXACTLY on at least one of four 16-bit bands, so candidates are an
+    equi-join on (band_idx, band_value) — never an all-pairs scan —
+    then verified with ``bit_count(xor)`` over both halves (all
+    whole-stage codegen).  The band join carries only (id, hi, lo): two
+    longs per row, so no rematerialization pass is needed (contrast
+    ``minhash_lsh_pairs``, whose shingle arrays must stay out of the
+    join).  Hot bands (boilerplate clusters) split under AQE skew-join.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max.
+    """
+    sig = simhash64_table(df, id_col, text_col)
+    hi, lo = F.col("sim_hi"), F.col("sim_lo")
+    bands = [F.shiftright(hi, 16), hi.bitwiseAND(F.lit(0xFFFF)),
+             F.shiftright(lo, 16), lo.bitwiseAND(F.lit(0xFFFF))]
+    banded = sig.select(
+        F.col(id_col).alias("id"), "sim_hi", "sim_lo",
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+                 + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+                 ).alias("hamming"))
+        # verify BEFORE the dedup shuffle: the hamming test is pure
+        # codegen and drops most candidates, so only matches shuffle
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"]))
+    return pairs
 
 
 def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

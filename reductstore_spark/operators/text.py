@@ -59,9 +59,21 @@ def spread_python_stage(df):
     size (round-5 sf3 soak: winnow_fingerprint went 4.2x for 3x data,
     single-core).  Repartition the slim projection up to the session's
     parallelism when the scan yields fewer splits; a no-op at real
-    scale, where splits >> cores."""
+    scale, where splits >> cores.
+
+    Streaming frames pass through untouched: micro-batch partitioning is
+    the source's concern (and ``.rdd`` is illegal on them); wrapped
+    operators (extract_media_meta, winnow_*_pandas, resize/feature
+    stubs) stay streaming-composable via foreachBatch or direct
+    mapInPandas."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # rdd.getNumPartitions forces physical planning once; that cost is
+    # accepted here because skipping the check would force a shuffle on
+    # every call — worse for the multi-file scans that dominate at scale,
+    # where splits >= cores makes this the no-op branch
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

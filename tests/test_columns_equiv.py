@@ -404,3 +404,38 @@ def test_negative_zero_display_all_tiers(spark):
                 continue
             got = df.select(pred.alias("p")).collect()[0]["p"]
             assert got == want, (mk.__name__, cond, got, want)
+
+
+def test_const_folded_comparison_keeps_boolean_kind(spark):
+    """A comparison of two CONSTANTS const-folds in the flat tier; the
+    fold must produce a Bool-kind constant, not an anonymous numeric —
+    $add of a string to it reports "Cannot add string to boolean" like
+    value.rs / the interpreter (round-6 strict fuzz, seed 6000: the fold
+    dropped the kind and the message said "integer")."""
+    from reductstore_spark.condition import values as V
+    from reductstore_spark.condition.fastcols import FlatCompiler, _emsg
+
+    df = spark.createDataFrame([(0, {"a": "1"})],
+                               "ts long, labels map<string,string>")
+    cases = [
+        ({"$add": ["5.", {"$lt": ["0s", "xyz"]}]},
+         "Cannot add string to boolean"),       # unordered fold -> False
+        ({"$add": ["5.", {"$gte": [3, 2]}]},
+         "Cannot add string to boolean"),       # ordered fold -> True
+        ({"$add": [{"$lte": ["1h", "2h"]}, "abc"]},
+         "Cannot add boolean to string"),       # folded const on the left
+    ]
+    for cond, want in cases:
+        node, _ = parse_when(json.loads(json.dumps(cond)))
+        try:
+            Evaluator(node).apply(Context(0, {"a": "1"}))
+            raise AssertionError("interpreter should raise")
+        except V.CondError as e:
+            assert str(e) == want, str(e)
+        fv = FlatCompiler(F.col("ts"), F.col("labels"),
+                          strict=True).compile(node)
+        got = df.select(_emsg(fv).alias("e")).collect()[0]["e"]
+        assert got == want, (cond, got, want)
+        sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+        got_s = df.select(sv["e"].alias("e")).collect()[0]["e"]
+        assert got_s == want, (cond, got_s, want)

@@ -219,7 +219,11 @@ def test_fuzz_strict_flat_vs_struct(spark, seed):
     assert not failures, failures[:3]
 
 
-@pytest.mark.parametrize("seed", [5000, 5017])
+# one seed per round that FOUND a real divergence (5000: r5 date-prefix
+# drop; 6000: r6 const-fold kind loss) — each runs the full three-tier
+# (value, emsg) comparison, ~2.5 min apiece, so the list stays short;
+# breadth hunting lives in tools/fuzz_hunt_strict.py out-of-band
+@pytest.mark.parametrize("seed", [5000, 6000])
 def test_strict_fuzz_three_tiers_message_parity(spark, seed):
     """CI form of tools/fuzz_hunt_strict.py (round 5): both column tiers
     compiled in message-threading form, the per-row (value, emsg) pair

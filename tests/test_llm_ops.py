@@ -66,6 +66,29 @@ def test_simhash_close_for_near_dups(docs):
     assert ham_near < ham_far  # near-dup closer in hamming space
 
 
+def test_simhash_near_dup_pairs_matches_brute_force(docs):
+    """Banding is exact for hamming <= 3 over 4x16-bit bands
+    (pigeonhole): the pair set must equal a brute-force all-pairs
+    hamming computation over the same 64-bit signatures."""
+    from reductstore_spark.operators.dedup import (
+        simhash64_table, simhash_near_dup_pairs)
+
+    sigs = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in
+            simhash64_table(docs, "doc_id", "text").collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = (bin(sigs[a][0] ^ sigs[b][0]).count("1")
+                 + bin(sigs[a][1] ^ sigs[b][1]).count("1"))
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()}
+    assert got == want
+    assert got[(1, 4)] == 0  # exact dup -> identical signature
+
+
 def test_simhash_table_matches_column_form(docs):
     """The exploded-codegen table form computes the exact same signature
     as the HOF Column form it replaces in hot paths."""

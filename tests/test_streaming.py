@@ -422,3 +422,19 @@ def test_stateful_stream_limit_stays_interrupted_after_restart(spark, tmp_path):
     store.write(spark.createDataFrame(mk_rows("e1", 5, base=10_000_000), SCHEMA))
     got2 = sorted(drain(spark, stateful_stream(continuous_query(spark, root), when), out, cp))
     assert got2 == [], got2
+
+
+def test_spread_python_stage_passes_streaming_frames_through(spark):
+    """spread_python_stage must not touch streaming frames (.rdd is
+    illegal on them — round-5 advice): the wrapped Arrow-batched
+    operators stay streaming-composable, and batch frames still get
+    spread to the session parallelism."""
+    from reductstore_spark.operators.text import spread_python_stage
+
+    stream = spark.readStream.format("rate").load()
+    assert spread_python_stage(stream) is stream  # untouched, no raise
+
+    small = spark.range(10).coalesce(1)
+    spread = spread_python_stage(small)
+    assert (spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)

@@ -36,6 +36,17 @@ def main():
 
     d3, d4 = tail("BENCH_r03.json"), tail("BENCH_r04.json")
 
+    # truncation losses must be visible (round-5 advice): the recovery
+    # regex silently drops entries cut mid-token or serialized in
+    # scientific notation — report recovered-vs-expected and the names
+    # missing from each driver tail so skewed sums can't pass unnoticed
+    expected = set(r3) | set(r4)
+    for label, d in (("driver-r3", d3), ("driver-r4", d4)):
+        missing = sorted(expected - set(d))
+        print(f"# {label}: recovered {len(d)}/{len(expected)} query "
+              f"timings from the truncated tail"
+              + (f"; missing: {', '.join(missing)}" if missing else ""))
+
     common = sorted(set(r3) & set(r4) & set(d3) & set(d4))
     rows = []
     for q in common:

@@ -24,7 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEAVY = [
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_components", "dedup_keep_best",
     "winnow_fingerprint", "winnow_overlap", "minhash_accuracy",
     "ann_lsh", "ann_ivf", "join_salted",
