@@ -123,7 +123,10 @@ def test_batch_paging_record_limit(spark):
 def test_batch_paging_body_size_limit(spark):
     """Limits are checked AFTER appending (read_batched.rs:186-194): the
     record that trips batch_max_size stays in the page."""
-    reg = QueryRegistry()
+    # frozen clock: batch_timeout_s must not trip the page under machine
+    # load (it did once in a loaded full-suite run) — this test is about
+    # the SIZE limit only
+    reg = QueryRegistry(clock=Clock())
     io = IoSettings(batch_max_size=10)  # each payload is 9 bytes
     qid = reg.register(_records(spark, 3), io=io)
     _, payloads, last = reg.fetch_batch(qid)
@@ -141,7 +144,7 @@ def test_batch_head_only_ignores_body_limit(spark):
 
 
 def test_batch_metadata_size_limit(spark):
-    reg = QueryRegistry()
+    reg = QueryRegistry(clock=Clock())  # size limit only, not timeout
     io = IoSettings(batch_max_metadata_size=40)  # one header is ~45 bytes
     qid = reg.register(_records(spark, 3), io=io)
     _, payloads, last = reg.fetch_batch(qid)
