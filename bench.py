@@ -94,6 +94,12 @@ def main() -> None:
     q2 = {k: round(v, 2) for k, v in timings.items()}
     line = json.dumps({**compact, "queries": q2}, separators=(",", ":"))
     if len(line) > budget:
+        # degrade precision before dropping entries — 1 decimal still
+        # carries the cross-round signal for every query
+        q2 = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps({**compact, "queries": q2},
+                          separators=(",", ":"))
+    if len(line) > budget:
         by_time = sorted(q2.items(), key=lambda kv: -kv[1])
         kept: dict = {}
         for k, v in by_time:
