@@ -327,7 +327,11 @@ def simhash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max.
     """
-    sig = simhash64_table(df, id_col, text_col)
+    # persist: the band self-join references the signature pipeline on
+    # BOTH sides and Spark reuses nothing across self-join branches
+    # (measured: 2 scans / 4 explodes / 6 aggregates without it) — the
+    # cached frame is 3 small columns per doc
+    sig = persist_tracked(simhash64_table(df, id_col, text_col))
     hi, lo = F.col("sim_hi"), F.col("sim_lo")
     bands = [F.shiftright(hi, 16), hi.bitwiseAND(F.lit(0xFFFF)),
              F.shiftright(lo, 16), lo.bitwiseAND(F.lit(0xFFFF))]
