@@ -438,3 +438,34 @@ def test_spread_python_stage_passes_streaming_frames_through(spark):
     spread = spread_python_stage(small)
     assert (spread.rdd.getNumPartitions()
             == spark.sparkContext.defaultParallelism)
+
+
+def test_stateful_stream_tws_matches_applyinpandas_path(spark, tmp_path):
+    """The transformWithStateInPandas form (Spark 4) must produce exactly
+    what the applyInPandasWithState form produces, across micro-batch
+    boundaries AND a checkpoint restart, for a condition exercising
+    $gate state + the #ctx_before buffer + $limit's Interrupt latch."""
+    pytest.importorskip("reductstore_spark.streaming.stateful_tws")
+    from reductstore_spark.streaming.stateful_tws import stateful_stream_tws
+
+    when = {"#ctx_before": 1,
+            "$and": [{"$gate": ["2500ms", {"&v": {"$lt": 3}}]},
+                     {"$limit": 4}]}
+    results = {}
+    for name, mk in (("apply", stateful_stream), ("tws", stateful_stream_tws)):
+        root = str(tmp_path / f"store_{name}")
+        cp = str(tmp_path / f"cp_{name}")
+        out = str(tmp_path / f"out_{name}")
+        store = RecordStore(spark, root)
+        store.write(spark.createDataFrame(mk_rows("e1", 5), SCHEMA))
+        got1 = sorted(drain(spark, mk(continuous_query(spark, root), when),
+                            out, cp))
+        # restart over the same checkpoint with later data: recovered
+        # state must continue seamlessly in both forms
+        store.write(spark.createDataFrame(mk_rows("e1", 5, base=5_000_000),
+                                          SCHEMA))
+        got2 = sorted(drain(spark, mk(continuous_query(spark, root), when),
+                            out, cp))
+        results[name] = (got1, got2)
+    assert results["tws"] == results["apply"], results
+    assert results["apply"][0], "scenario must actually emit rows"
