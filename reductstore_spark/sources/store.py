@@ -487,15 +487,21 @@ class RecordStore:
                 files += len(pq)
                 size += sum(os.path.getsize(os.path.join(dirpath, f))
                             for f in pq)
+        # no-records entries report 0/0, never null (entry.rs:222-238
+        # unwrap_or(0); PR-1534 pins the same for the bucket rollup)
         return {"name": entry, "size": size, "record_count": row["n"],
                 "block_count": files,
-                "oldest_record": row["lo"], "latest_record": row["hi"]}
+                "oldest_record": row["lo"] if row["lo"] is not None else 0,
+                "latest_record": row["hi"] if row["hi"] is not None else 0}
 
     def bucket_info(self, bucket: str) -> dict:
         """BucketInfo parity (bucket_api.rs BucketInfo): size / entry_count
         / record-time extremes across the bucket's visible entries.
         Shadow-exact without the dedup window (see entry_info): live
-        records are distinct (entry, ts) pairs."""
+        records are distinct (entry, ts) pairs.  Entries without records
+        contribute no rows, so they can't skew the extremes (PR-1534:
+        bucket.rs:154-156 skips record_count == 0 entries), and a bucket
+        whose every entry is empty reports 0/0 (bucket.rs:162-164)."""
         names = [e for b, e in self.entries(bucket)]
         cur = self._raw().where(
             (F.col("bucket") == bucket) & F.col("entry").isin(names))
@@ -504,7 +510,8 @@ class RecordStore:
                       F.max("ts").alias("hi")).collect()[0]
         return {"name": bucket, "size": self.bucket_size(bucket),
                 "entry_count": len(names), "record_count": row["n"],
-                "oldest_record": row["lo"], "latest_record": row["hi"]}
+                "oldest_record": row["lo"] if row["lo"] is not None else 0,
+                "latest_record": row["hi"] if row["hi"] is not None else 0}
 
     # -- quota -----------------------------------------------------------
     def bucket_size(self, bucket: str) -> int:

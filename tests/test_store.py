@@ -212,6 +212,24 @@ def test_global_storage_cap(spark, tmp_path):
                                   max_storage_bytes=store.total_size())
 
 
+def test_info_zero_not_null_when_no_records(spark, store):
+    """PR-1534 / entry.rs:222-238 unwrap_or(0): entries and buckets with
+    no records report oldest/latest 0 — never null — and recordless
+    entries can't skew a bucket's extremes (they contribute no rows)."""
+    e = store.entry_info("b1", "nonexistent")
+    assert e["oldest_record"] == 0 and e["latest_record"] == 0
+    assert e["record_count"] == 0
+    b = store.bucket_info("empty_bucket")
+    assert b["oldest_record"] == 0 and b["latest_record"] == 0
+    assert b["record_count"] == 0 and b["entry_count"] == 0
+    # filled entries still report real extremes
+    store.write(spark.createDataFrame(mk_rows("e1", 3, base=1_000_000),
+                                      SCHEMA))
+    b = store.bucket_info("b1")
+    assert b["oldest_record"] == 1_000_000
+    assert b["latest_record"] == 3_000_000
+
+
 def test_free_disk_space_guard(spark, tmp_path):
     """PR-1525 (bucket/quotas.rs:19-42 check_free_disk_space): reject the
     batch BEFORE writing when the data-folder filesystem lacks free space
