@@ -67,3 +67,21 @@ def test_fleet_codegen_compiles_no_fallback(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
     assert not failures, failures
+
+
+def test_simhash_pairs_signature_computed_once(spark, sf_dir):
+    """The band self-join must read the CACHED signature on both sides —
+    without the persist the whole signature pipeline (scan -> explode ->
+    64 votes -> aggregate) executed once per side (measured: 2 parquet
+    scans / 4 explodes / 6 aggregates)."""
+    from reductstore_spark.caching import release_caches
+    from reductstore_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = simhash_near_dup_pairs(docs, "doc_id", "text", 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    # both join sides read the cache (the signature subtree still PRINTS
+    # inside InMemoryRelation, so raw scan/aggregate counts stay — the
+    # cache hit is what prevents double execution)
+    assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
