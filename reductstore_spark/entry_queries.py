@@ -1252,6 +1252,43 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """
 
 
+def q_dedup_simhash_components(spark, sf_dir):
+    """Pair-free SimHash near-dup GROUPS — the Manku (WWW'07) end state:
+    banded hamming <= 3 candidate pairs flow straight into the hash-min
+    connected-components aggregation, so a k-document boilerplate
+    cluster's k^2/2 pairs collapse to k labels per round and are never
+    materialized to the user (nor pair-deduplicated: the min aggregate
+    is duplicate-insensitive, saving that shuffle too).  Every document
+    gets a canonical id = smallest doc id reachable via hamming <= 3."""
+    prep(spark)
+    from .operators.dedup import simhash_near_dup_components
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_components(docs, "doc_id", "text",
+                                       max_hamming=3)
+
+
+# transitive closure via recursive CTE over the SAME banded pair SQL is
+# oracle-only (fine on the small correctness corpus); the Spark side
+# converges in O(log d) hash-min + pointer-jump label rounds
+SQL_DEDUP_SIMHASH_COMPONENTS = f"""
+WITH RECURSIVE prs AS ({SQL_DEDUP_SIMHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors: corpus bucketed by
     hyperplane sign pattern; the query probes only its own bucket.
@@ -4384,6 +4421,10 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     # new in round 6: simhash near-dup PAIRS (Manku-style banding)
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    # new in round 7: pair-free simhash near-dup GROUPS (banded pairs
+    # consumed by connected components, never materialized)
+    "dedup_simhash_components": (q_dedup_simhash_components,
+                                 SQL_DEDUP_SIMHASH_COMPONENTS),
 }
 
 # Round-5 driver window (the driver records the FIRST 50 entries).
@@ -4443,3 +4484,39 @@ assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {k: QUERIES[k]
            for k in [*_R6_WINDOW,
                      *(n for n in QUERIES if n not in set(_R6_WINDOW))]}
+
+# Round-7 driver window (r6 verdict task 1): the entries whose CODE
+# changed this round lead — dedup_simhash_components (NEW: pair-free
+# Manku grouping), dedup_simhash_pairs (banding core refactored),
+# dedup_simhash + dedup_keep_best (simhash core now coalesces null text
+# so every id survives), store_roundtrip + store_remove +
+# stream_replication + stream_restart (the PR-1525 free-disk guard now
+# covers the plain RecordStore.write() path those use).  Then the 20
+# entries whose latest driver rows are r2/r4 (the full stale list from
+# the r6 verdict); the remaining slots are the oldest r5 rows, in r5
+# window order.  Union r1-r7 stays 119/119 (now 120/120) with max
+# staleness r5.
+_R7_CHANGED = [
+    "dedup_simhash_components", "dedup_simhash_pairs", "dedup_simhash",
+    "dedup_keep_best", "store_roundtrip", "store_remove",
+    "stream_replication", "stream_restart",
+]
+_R7_STALE = [
+    # latest driver rows r2
+    "agg_distinct", "agg_order_priority", "agg_pricing",
+    "join_anti_inactive", "join_region", "join_semi_bigorders",
+    "order_count_dist", "small_qty_revenue", "top_supplier",
+    # latest driver rows r4
+    "class_spread", "ctx_after_limit", "ctx_limit", "curriculum_mix",
+    "event_pivot", "event_transitions", "langid_confusion",
+    "length_outliers", "pmi_bigrams", "sql_surface", "vocab_stats",
+]
+_R7_WINDOW = (_R7_CHANGED + _R7_STALE
+              + [n for n in _R5_WINDOW
+                 if n not in set(_R7_CHANGED) and n not in set(_R7_STALE)]
+              )[:50]
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+assert set(_R7_WINDOW) <= QUERIES.keys()
+QUERIES = {k: QUERIES[k]
+           for k in [*_R7_WINDOW,
+                     *(n for n in QUERIES if n not in set(_R7_WINDOW))]}

@@ -246,9 +246,9 @@ def simhash32_table(
     interpreted, per element per bit, ~10x slower at corpus scale.
 
     The one shuffle carries (id, 32 small ints) — never the token
-    strings.  Requires non-null ``text_col``: a null text produces no
-    token rows, so its id would drop from the output (callers own that
-    contract; every corpus table here is non-null).
+    strings.  Null text is coalesced to the empty string, so every
+    input id survives with the (deterministic) empty-text signature —
+    matching the HOF Column form, which never drops rows.
 
     Returns a DataFrame with columns (``id_col``, ``out_col``).
     """
@@ -277,11 +277,17 @@ def _simhash_halves_table(df, id_col, text_col, halves) -> DataFrame:
     """Shared exploded-codegen simhash core: one 32-bit md5-prefix hash
     per (doc, distinct token, half), 32 flat shift/mask bit-votes per
     half, one map-side-combined groupBy sum, flat signature reassembly.
-    ``halves``: list of (md5 hex start char, output column name)."""
+    ``halves``: list of (md5 hex start char, output column name).
+
+    Text is coalesced to '' first: ``normalized_words('')`` is the
+    single-element array [''], so a null/empty text still yields one
+    token row and its id survives to the output (an explode of an empty
+    set would silently drop the row — a divergence from the HOF Column
+    form this replaces)."""
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(normalized_words(F.col(text_col))))
-        .alias("__w"))
+        F.explode(F.array_distinct(normalized_words(
+            F.coalesce(F.col(text_col), F.lit(""))))).alias("__w"))
     # separate select so each md5+conv evaluates once per row; the vote
     # expressions below reference the materialized __h columns
     hashed = toks.select(
@@ -325,8 +331,30 @@ def simhash_near_dup_pairs(
     ``minhash_lsh_pairs``, whose shingle arrays must stay out of the
     join).  Hot bands (boilerplate clusters) split under AQE skew-join.
 
+    The signature frame is cached via ``persist_tracked`` (the band
+    self-join references it on both sides); library consumers should
+    call :func:`reductstore_spark.caching.release_caches` after
+    materializing the result to free it.
+
+    NOTE (scale): pair *enumeration* is inherently quadratic inside a
+    near-dup cluster even with perfect banding — a boilerplate-heavy
+    corpus at 100 TB wants :func:`simhash_near_dup_components`, which
+    consumes the pair set with a group aggregation instead of
+    materializing it.
+
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max.
     """
+    pairs, _sig = _simhash_banded_pairs(df, id_col, text_col, max_hamming)
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def _simhash_banded_pairs(df, id_col, text_col, max_hamming):
+    """Shared Manku banding core: (verified-pairs frame WITHOUT the
+    duplicate-band dedup shuffle, cached signature frame).  A pair whose
+    signatures agree on k of the 4 bands appears k times — callers that
+    feed an order-insensitive aggregate (connected components' hash-min)
+    skip the dropDuplicates shuffle entirely; pair-output callers apply
+    it."""
     # persist: the band self-join references the signature pipeline on
     # BOTH sides and Spark reuses nothing across self-join branches
     # (measured: 2 scans / 4 explodes / 6 aggregates without it) — the
@@ -347,15 +375,67 @@ def simhash_near_dup_pairs(
                 (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
                  + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
                  ).alias("hamming"))
-        # verify BEFORE the dedup shuffle: the hamming test is pure
-        # codegen and drops most candidates, so only matches shuffle
-        .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"]))
-    return pairs
+        # verify BEFORE any downstream shuffle: the hamming test is pure
+        # codegen and drops most candidates, so only matches move on
+        .where(F.col("hamming") <= max_hamming))
+    return pairs, sig
+
+
+def simhash_near_dup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pair-free near-dup grouping: every document labeled with the
+    smallest doc id in its SimHash hamming <= ``max_hamming``
+    neighborhood's transitive closure — the Manku/Jain/Sarma (WWW'07)
+    web-dedup END STATE, where banded candidate pairs feed straight into
+    connected components and are never materialized to the user.
+
+    Why this is the 100 TB shape: inside a k-document boilerplate
+    cluster the verified pair set is k^2/2 rows no matter how good the
+    banding is, so *returning pairs* is output-bound on duplicate-heavy
+    corpora (measured: the sf3 ``simhash_near_dup_pairs`` wall is
+    dominated by 33.2 M genuine pairs).  Here the pair stream flows
+    directly into :func:`connected_components`' first hash-min
+    ``groupBy`` — a map-side-combined aggregate that collapses a
+    k-clique's k^2/2 edges to k labels per round — and two further
+    output-size economies apply:
+
+    * **No pair-dedup shuffle.**  A pair whose signatures agree on
+      several of the 4 pigeonhole bands is emitted once per band; the
+      hash-min aggregate is duplicate-insensitive, so the
+      ``dropDuplicates`` shuffle the pair operator needs is skipped.
+    * **Signature cache released eagerly.**  ``connected_components``
+      materializes the edge list (localCheckpoint) as its first step,
+      after which the banded self-join's cached signature frame is
+      unpersisted here — long-running sessions don't accumulate it.
+
+    Returns (id_col, component): one row per input document, component
+    = smallest reachable doc id (singletons map to themselves).
+    """
+    pairs, sig = _simhash_banded_pairs(df, id_col, text_col, max_hamming)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    # connected_components localCheckpoints the edge list eagerly, so the
+    # signature pipeline has fully run by now — release its cache
+    sig.unpersist()
+    return (df.select(F.col(id_col))
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("component")))
 
 
 def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup: keep the lowest-id row per identical content."""
+    """Exact dedup: keep the lowest-id row per identical content.
+
+    Content identity is ``md5(text)`` — chosen because every oracle
+    engine computes it identically, which is what the correctness gate
+    needs.  At 100 TB against adversarial web text, swap the digest for
+    ``xxhash64(text)`` paired with a full-text tiebreak, or
+    ``sha2(text, 256)`` where a collision-resistant 256-bit digest is
+    the (industry-floor) requirement — the window/partition shape is
+    unchanged, only the hash expression swaps."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))

@@ -123,11 +123,22 @@ class RecordStore:
         return self.spark.createDataFrame([], schema)
 
     # -- write path ------------------------------------------------------
-    def write(self, df: DataFrame, compression: str = None) -> None:
+    def write(self, df: DataFrame, compression: str = None,
+              _disk_checked: bool = False) -> None:
         """Append a batch of records; same-(bucket,entry,ts) rows shadow
         older versions (upsert-on-read, compact() to materialize).
         ``compression``: per-batch parquet codec override ('zstd'/'gzip'/
-        'none') — the replication transfer-compression analogue."""
+        'none') — the replication transfer-compression analogue.
+
+        Every write path enforces the PR-1525 free-disk guard — the
+        reference runs ``check_free_disk_space`` on each record write
+        (bucket.rs:236), so streaming sinks, replication, and direct
+        ingest through this method are covered too.  ``_disk_checked``
+        is internal: the settings/quota wrappers pre-check the batch
+        (the guard must fire before quota math there) and skip the
+        duplicate aggregation job here."""
+        if not _disk_checked:
+            self._check_free_disk_space(self._incoming_bytes(df))
         seq = self._next_seq()
         out = (
             df.select(*[f.name for f in RECORDS_SCHEMA.fields])
@@ -258,7 +269,7 @@ class RecordStore:
                     raise QuotaExceeded(
                         f"bucket '{b}' would exceed the hard quota of "
                         f"{st['quota_size']} bytes")
-        self.write(df)
+        self.write(df, _disk_checked=True)
         for b, st in plans.items():
             if st["quota_type"] == "FIFO" and st["quota_size"] > 0:
                 self.evict_fifo(b, st["quota_size"])
@@ -542,7 +553,7 @@ class RecordStore:
                 if self.bucket_size(b) + incoming > quota_bytes:
                     raise QuotaExceeded(
                         f"bucket '{b}' would exceed the hard quota of {quota_bytes} bytes")
-        self.write(df)
+        self.write(df, _disk_checked=True)
         if quota_type == "FIFO" and quota_bytes > 0:
             for r in df.select("bucket").distinct().collect():
                 self.evict_fifo(r["bucket"], quota_bytes)

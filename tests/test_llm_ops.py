@@ -103,6 +103,50 @@ def test_simhash_table_matches_column_form(docs):
     assert all(0 <= v < 2 ** 32 for v in tbl_form.values())
 
 
+def test_simhash_table_survives_null_and_empty_text(spark):
+    """A null text coalesces to '' so its id survives with the
+    deterministic empty-text signature (the explode would otherwise
+    silently drop the row — ADVICE r6)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some real text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in
+           simhash32_table(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[2]  # null and empty share the '' signature
+    assert out[1] is not None
+
+
+def test_simhash_components_matches_pair_union_find(docs):
+    """The pair-free grouping operator must assign exactly the labels a
+    brute-force union-find over the materialized hamming <= 3 pair set
+    would (smallest reachable id), with singletons mapping to
+    themselves — and cover every input id exactly once."""
+    from reductstore_spark.operators.dedup import (
+        simhash_near_dup_components, simhash_near_dup_pairs)
+
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    got = {r["doc_id"]: r["component"] for r in
+           simhash_near_dup_components(docs, "doc_id", "text", 3).collect()}
+    assert got == want
+    # the fixture's exact-dup pair (1, 4) must share a component
+    assert got[1] == got[4]
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     import math

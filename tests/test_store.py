@@ -262,6 +262,29 @@ def test_free_disk_space_guard(spark, tmp_path):
     assert real.free_space_fn(real.root) > 0
 
 
+def test_free_disk_space_guard_on_plain_write(spark, tmp_path):
+    """The guard covers the plain RecordStore.write() path too (used by
+    streaming sinks, replication, and direct ingest) — the reference
+    runs check_free_disk_space on EVERY record write (bucket.rs:236),
+    not only on the settings/quota wrappers (ADVICE r6)."""
+    from reductstore_spark.sources.store import (
+        InsufficientStorage, RecordStore)
+
+    store = RecordStore(spark, str(tmp_path / "d"),
+                        free_space_fn=lambda _p: 50)
+    rows = [("b", "e", 1, b"x" * 200, "", 1, {}, {})]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(InsufficientStorage, match="only 50 bytes available"):
+        store.write(df)
+    assert store.total_size() == 0
+    # a fitting batch writes; the settings wrapper pre-checks and skips
+    # the duplicate in-write aggregation (no double job, same outcome)
+    small = spark.createDataFrame([("b", "e", 1, b"x" * 10, "", 1, {}, {})],
+                                  SCHEMA)
+    store.write(small)
+    assert store.read().count() == 1
+
+
 def test_records_from_table_generic_ingest(spark, sf_dir, tmp_path):
     """The generic tabular->records mapping reproduces the hand-written
     events adapter on the driver corpus and round-trips through a store
