@@ -20,11 +20,40 @@ from typing import List
 from pyspark.sql import DataFrame
 
 _LIVE: List[DataFrame] = []
+_LIVE_CKPT: List[DataFrame] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     out = df.persist()
     _LIVE.append(out)
+    return out
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free a ``localCheckpoint``-ed DataFrame's storage blocks NOW.
+
+    ``localCheckpoint`` persists the physical RDD directly in the block
+    manager — it never registers with the SQL CacheManager, so neither
+    ``df.unpersist()`` nor ``spark.catalog.clearCache()`` touches it,
+    and ContextCleaner only reclaims it after BOTH the Python wrapper
+    and the JVM Dataset are garbage collected (py4j keeps the latter
+    alive until a Python GC cycle), which under allocation pressure lags
+    far behind need — measured: a 4-SF soak accumulated enough orphaned
+    checkpoint blocks to fail a later broadcast build with
+    "Not enough memory to build and broadcast".  The checkpointed plan
+    is a ``LogicalRDD`` whose ``rdd()`` IS the persisted RDD; unpersist
+    it directly."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:  # not a checkpoint plan / session stopped
+        return False
+
+
+def localcheckpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` whose blocks ``release_caches()`` frees."""
+    out = df.localCheckpoint()
+    _LIVE_CKPT.append(out)
     return out
 
 
@@ -38,4 +67,7 @@ def release_caches() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
+    while _LIVE_CKPT:
+        if release_local_checkpoint(_LIVE_CKPT.pop()):
+            n += 1
     return n

@@ -469,6 +469,13 @@ def connected_components(
       empirically the optimizer, not the data, dominated wall time by
       round 3.  On a cluster where executor loss must be survivable,
       swap for reliable ``checkpoint`` with a checkpoint dir.
+      Superseded rounds' blocks are freed eagerly (each round's
+      checkpoint is safe to drop the moment the next one has
+      materialized) and the edge list is freed on return — without
+      this, a long session accumulates every round of every invocation
+      in the block manager until an unrelated broadcast build OOMs.
+      The returned frame's own blocks are registered for
+      ``release_caches()``.
     * **Join-free convergence test.**  Labels are monotonically
       non-increasing, so the iteration has converged exactly when
       ``sum(lbl)`` stops decreasing — one map-side-combined aggregate
@@ -477,6 +484,8 @@ def connected_components(
     Near-dup graphs have tiny components, so 2-4 rounds typically
     suffice; ``max_iter`` only bounds pathology.
     """
+    from ..caching import _LIVE_CKPT, release_local_checkpoint
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).localCheckpoint()
@@ -513,9 +522,12 @@ def connected_components(
                         "lbl", "left")
                   .select("id", F.coalesce("plbl", "lbl").alias("lbl"))
                   ).localCheckpoint()
+        release_local_checkpoint(labels)  # superseded — jumped is eager
         labels = jumped
         cur = lblsum(labels)
         if cur == prev:
             break
         prev = cur
+    release_local_checkpoint(edges)
+    _LIVE_CKPT.append(labels)  # freed by the caller's release_caches()
     return labels.select(F.col("id"), F.col("lbl").alias("component"))

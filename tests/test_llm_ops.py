@@ -147,6 +147,26 @@ def test_simhash_components_matches_pair_union_find(docs):
     assert got[1] == got[4]
 
 
+def test_connected_components_releases_checkpoint_blocks(spark, docs):
+    """``connected_components`` localCheckpoints every round; superseded
+    rounds and the edge list must be freed eagerly and the final labels
+    frame via release_caches() — otherwise a long session (bench, soak,
+    serving) accumulates every invocation's blocks in the block manager
+    until an unrelated broadcast build OOMs (observed: the r7 4-SF soak
+    died at sf3 join_salted with 'Not enough memory to build and
+    broadcast' before this fix)."""
+    from reductstore_spark.caching import release_caches
+    from reductstore_spark.operators.dedup import simhash_near_dup_components
+
+    sc = spark.sparkContext
+    for _ in range(2):
+        out = simhash_near_dup_components(docs, "doc_id", "text", 3)
+        out.agg(F.sum(F.xxhash64(*out.columns))).collect()
+        release_caches()
+    leaked = [(i.id(), i.name()) for i in sc._jsc.sc().getRDDStorageInfo()]
+    assert leaked == []
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     import math

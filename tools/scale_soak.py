@@ -33,9 +33,13 @@ HEAVY = [
 
 
 def main() -> None:
+    global HEAVY
     out_path = sys.argv[1]
     sfs = []  # (sf_float, dir)
     for arg in sys.argv[2:]:
+        if arg.startswith("--ops="):
+            HEAVY = arg[len("--ops="):].split(",")
+            continue
         label, d = arg.split("=", 1)
         sfs.append((float(label), d))
     sfs.sort()
