@@ -1254,12 +1254,11 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 
 def q_dedup_simhash_components(spark, sf_dir):
     """Pair-free SimHash near-dup GROUPS — the Manku (WWW'07) end state:
-    banded hamming <= 3 candidate pairs flow straight into the hash-min
-    connected-components aggregation, so a k-document boilerplate
-    cluster's k^2/2 pairs collapse to k labels per round and are never
-    materialized to the user (nor pair-deduplicated: the min aggregate
-    is duplicate-insensitive, saving that shuffle too).  Every document
-    gets a canonical id = smallest doc id reachable via hamming <= 3."""
+    identical signatures contract to one representative node, banded
+    hamming <= 3 candidate pairs over the contracted graph flow into the
+    hash-min connected-components aggregation, and the pair set is never
+    materialized to the user.  Every document gets a canonical id =
+    smallest doc id reachable via hamming <= 3."""
     prep(spark)
     from .operators.dedup import simhash_near_dup_components
     docs = _t(spark, sf_dir, "documents")
@@ -1272,6 +1271,45 @@ def q_dedup_simhash_components(spark, sf_dir):
 # converges in O(log d) hash-min + pointer-jump label rounds
 SQL_DEDUP_SIMHASH_COMPONENTS = f"""
 WITH RECURSIVE prs AS ({SQL_DEDUP_SIMHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_dedup_minhash_components(spark, sf_dir):
+    """Pair-free MinHash near-dup GROUPS — the grouping end state for
+    the MinHash family, symmetric with dedup_simhash_components:
+    byte-identical texts contract to one representative before
+    signature computation (sound because identical shingle-viable texts
+    have jaccard exactly 1), LSH-banded verified pairs over the
+    contracted corpus flow into hash-min connected components, and the
+    quadratic intra-cluster pair set is never materialized.  Every
+    document gets a canonical id = smallest doc id reachable through
+    jaccard >= 0.5 links."""
+    prep(spark)
+    from .operators.dedup import minhash_near_dup_components
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_components(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=8, num_bands=4,
+        threshold=0.5)
+
+
+# transitive closure via recursive CTE over the SAME LSH pair SQL —
+# oracle-only (fine on the small correctness corpus)
+SQL_DEDUP_MINHASH_COMPONENTS = f"""
+WITH RECURSIVE prs AS ({SQL_DEDUP_MINHASH}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION
@@ -4425,6 +4463,8 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # consumed by connected components, never materialized)
     "dedup_simhash_components": (q_dedup_simhash_components,
                                  SQL_DEDUP_SIMHASH_COMPONENTS),
+    "dedup_minhash_components": (q_dedup_minhash_components,
+                                 SQL_DEDUP_MINHASH_COMPONENTS),
 }
 
 # Round-5 driver window (the driver records the FIRST 50 entries).
@@ -4497,7 +4537,9 @@ QUERIES = {k: QUERIES[k]
 # window order.  Union r1-r7 stays 119/119 (now 120/120) with max
 # staleness r5.
 _R7_CHANGED = [
-    "dedup_simhash_components", "dedup_simhash_pairs", "dedup_simhash",
+    "dedup_simhash_components", "dedup_minhash_components",
+    "dedup_minhash", "dedup_components",
+    "dedup_simhash_pairs", "dedup_simhash",
     "dedup_keep_best", "store_roundtrip", "store_remove",
     "stream_replication", "stream_restart",
 ]

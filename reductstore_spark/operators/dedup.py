@@ -448,6 +448,61 @@ def simhash_near_dup_components(
                     F.coalesce("component", F.col("rep")).alias("component")))
 
 
+def minhash_near_dup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 1,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pair-free MinHash near-dup grouping: every document labeled with
+    the smallest doc id in the transitive closure of the
+    jaccard >= ``threshold`` pair graph — the grouping end state for
+    the MinHash family, symmetric with
+    :func:`simhash_near_dup_components`.
+
+    Exact-duplicate contraction: documents with byte-identical text are
+    contracted to one representative (min doc id per ``md5(text)``)
+    BEFORE signature computation, so an exact-dup clique of size k
+    contributes one node to candidate generation instead of k^2/2
+    verified pairs — the dominant duplication mode of a real web-scale
+    corpus.  Contraction is SOUND only for documents that can form at
+    least one shingle (identical non-degenerate texts have jaccard
+    exactly 1 >= any threshold); texts shorter than ``shingle_k``
+    words have an EMPTY shingle set, are never pairs under the operator
+    contract (0/0 jaccard), and therefore stay their own singleton
+    representatives — contracting them would diverge from the pair
+    closure.
+
+    Returns (id_col, component): one row per input document, component
+    = smallest reachable doc id (singletons map to themselves)."""
+    from pyspark.sql import Window
+
+    from ..caching import localcheckpoint_tracked
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(normalized_words(txt))
+    w = Window.partitionBy(F.md5(txt))
+    # identical text => identical word count, so the whole md5 group
+    # either contracts or stays singletons — never a mixed group
+    mapping = localcheckpoint_tracked(df.select(
+        F.col(id_col).alias("id"),
+        F.when(n_words >= F.lit(shingle_k), F.min(id_col).over(w))
+        .otherwise(F.col(id_col)).alias("rep")))
+    reps_src = df.join(
+        mapping.where(F.col("id") == F.col("rep"))
+        .select(F.col("id").alias(id_col)), id_col, "left_semi")
+    pairs = minhash_lsh_pairs(reps_src, id_col, text_col, shingle_k,
+                              num_hashes, num_bands, threshold)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (mapping
+            .join(comp.withColumnRenamed("id", "rep"), "rep", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("component", F.col("rep")).alias("component")))
+
+
 def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per identical content.
 

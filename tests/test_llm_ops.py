@@ -147,6 +147,50 @@ def test_simhash_components_matches_pair_union_find(docs):
     assert got[1] == got[4]
 
 
+def test_minhash_components_matches_pair_union_find(spark):
+    """minhash_near_dup_components must equal a brute-force union-find
+    over the materialized pair set — including the exact-dup contraction
+    path (byte-identical texts) and the degenerate path (texts too short
+    to form a shingle must stay singletons, never contract)."""
+    from reductstore_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_near_dup_components)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                            # exact dup of 1 (contracts)
+        (3, base + " extra trailing words"),  # near dup of 1/2
+        (4, "completely different content about spark query planning"),
+        (5, "xy"),                            # < shingle_k words: singleton
+        (6, "xy"),                            # identical short text: must
+                                              # NOT contract with 5
+        (7, None),                            # null text: singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(shingle_k=3, num_hashes=8, num_bands=4, threshold=0.5)
+
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()]
+    parent = {i: i for i in range(1, 8)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(1, 8)}
+    got = {r["doc_id"]: r["component"] for r in
+           minhash_near_dup_components(docs, "doc_id", "text",
+                                       **kw).collect()}
+    assert got == want
+    assert got[1] == got[2]          # exact dups share a component
+    assert got[5] == 5 and got[6] == 6 and got[7] == 7  # degenerates
+
+
 def test_connected_components_releases_checkpoint_blocks(spark, docs):
     """``connected_components`` localCheckpoints every round; superseded
     rounds and the edge list must be freed eagerly and the final labels
