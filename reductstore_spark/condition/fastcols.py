@@ -720,7 +720,12 @@ class FlatCompiler:
                 emsg = self._m(emsg, self._mw(~hit, _emsg(item)))
             hit = hit | eq
         val = hit if name == "$in" else ~hit
-        out = FV(num=val.cast("double"), err=err, numeric_only=True)
+        # Bool-kind result like every comparison: without skind the strict
+        # message for e.g. $add[string, $in(...)] falls back to the runtime
+        # numeric kind word ("integer") instead of "boolean" (r7 strict
+        # fuzz, seed 8008)
+        out = FV(num=val.cast("double"), err=err, numeric_only=True,
+                 bound=1, skind="boolean")
         out.emsg = emsg
         return out
 

@@ -439,3 +439,38 @@ def test_const_folded_comparison_keeps_boolean_kind(spark):
         sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
         got_s = df.select(sv["e"].alias("e")).collect()[0]["e"]
         assert got_s == want, (cond, got_s, want)
+
+
+def test_in_result_keeps_boolean_kind(spark):
+    """$in / $nin results are Bool-kind; the flat tier's FV must carry
+    skind="boolean" like every other comparison, or the strict message
+    for $add[string, $in(...)] reports the runtime numeric word
+    ("integer") instead of "boolean" (round-7 strict fuzz, seed 8008:
+    {"$add": ["$$esc", {"$in": ["", ".5"]}]})."""
+    from reductstore_spark.condition import values as V
+    from reductstore_spark.condition.fastcols import FlatCompiler, _emsg
+
+    df = spark.createDataFrame([(0, {"a": "-.5"})],
+                               "ts long, labels map<string,string>")
+    cases = [
+        ({"$add": ["$$esc", {"$in": ["", ".5"]}]},
+         "Cannot add string to boolean"),          # the finding seed shape
+        ({"$add": [{"$nin": ["&a", "x", "y"]}, "abc"]},
+         "Cannot add boolean to string"),          # label head, $nin, left
+        ({"$sub": ["1.5", {"$in": ["&a", "-.5"]}]},
+         "Cannot subtract string"),                # string-side msg intact
+    ]
+    for cond, want in cases:
+        node, _ = parse_when(json.loads(json.dumps(cond)))
+        try:
+            Evaluator(node).apply(Context(0, {"a": "-.5"}))
+            raise AssertionError("interpreter should raise")
+        except V.CondError as e:
+            assert str(e) == want, str(e)
+        fv = FlatCompiler(F.col("ts"), F.col("labels"),
+                          strict=True).compile(node)
+        got = df.select(_emsg(fv).alias("e")).collect()[0]["e"]
+        assert got == want, (cond, got, want)
+        sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+        got_s = df.select(sv["e"].alias("e")).collect()[0]["e"]
+        assert got_s == want, (cond, got_s, want)
