@@ -2548,6 +2548,75 @@ WHERE CASE WHEN user_id < 5 THEN value * 2 ELSE value END > 150
 """
 
 
+def q_zenoh_roundtrip(spark, sf_dir):
+    """The Zenoh API surface through the oracle gate (subscriber
+    pipeline: api/zenoh/subscriber.rs:37-103; queryable pipeline:
+    api/zenoh/queryable.rs:70-116; reply building:
+    api/zenoh/session.rs:580-707): publish the first 12 events through
+    the in-process zenoh bus — one sample per event, payload = the props
+    JSON, labels via a JSON attachment, an NTP64 sample timestamp — then
+    read each entry back through the queryable with a ``when``
+    attachment, and rebuild every output value from the reply wire shape
+    (key expression, NTP64 timestamp, label attachment, payload bytes),
+    never from the store directly.  The store build is marker-cached;
+    the queryable reads re-execute per invocation."""
+    import json as _json
+    import os
+    import shutil
+
+    from .sources import zenoh as Z
+    from .sources.store import RecordStore
+
+    prep(spark)
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    root = f"/tmp/spark_graft_zenoh_{sf_tag}"
+    marker = os.path.join(root, "_meta", "zenoh_v1")
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (raw.where(F.col("event_id") < 12)
+          .select("event_type", raw_ts_us(raw).alias("us"),
+                  "value", "props")
+          .collect())
+    config = Z.ZenohApiConfig(
+        enabled=True, config_inline="mode=client",
+        sub_keyexprs="ev/**", query_keyexprs="ev/**")
+
+    store = RecordStore(spark, root)
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        store = RecordStore(spark, root)
+        runtime = Z.spawn_runtime(config, store)
+        for r in ev:
+            runtime.session.put(
+                f"ev/{r['event_type']}", r["props"].encode(),
+                encoding="application/json",
+                attachment=Z.serialize_labels(
+                    {"value": str(r["value"])}),
+                timestamp=Z.ZenohTimestamp.from_micros(r["us"]))
+        runtime.shutdown()
+        with open(marker, "w") as fh:
+            fh.write("v1")
+
+    runtime = Z.spawn_runtime(config, store)
+    att = _json.dumps({"when": {"&value": {"$gt": 50}}}).encode()
+    rows = []
+    for etype in sorted({r["event_type"] for r in ev}):
+        for rep in runtime.session.get(f"ev/{etype}", attachment=att):
+            labels = Z.deserialize_labels(rep.attachment)
+            rows.append((rep.key_expr, rep.timestamp.to_micros(),
+                         float(labels["value"]), len(rep.payload)))
+    runtime.shutdown()
+    return spark.createDataFrame(
+        rows, "entry string, ts long, value double, plen long")
+
+
+SQL_ZENOH_ROUNDTRIP = """
+SELECT 'ev/' || event_type AS entry, epoch_us(ts) AS ts, value,
+       CAST(length(props) AS BIGINT) AS plen
+FROM events WHERE event_id < 12 AND value > 50
+"""
+
+
 def q_store_remove(spark, sf_dir):
     """Query-driven bulk delete through the physical store
     (QueryType::Remove, remove_records.rs:62-160): build a store from
@@ -4318,7 +4387,8 @@ SELECT source, CAST(sum(t) AS BIGINT) AS js_e6 FROM (
 # correctness-gate only, excluded from the timing loop in bench.py
 BENCH_EXCLUDE = {"stream_rollup", "stream_replication", "stream_each_t",
                  "stream_gate", "stream_ctx", "stream_restart",
-                 "lifecycle_delete", "bucketed_join", "strict_error"}
+                 "lifecycle_delete", "bucketed_join", "strict_error",
+                 "zenoh_roundtrip"}
 
 
 # ---------------------------------------------------------------------------
@@ -4357,6 +4427,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "stream_restart": (q_stream_restart, SQL_STREAM_RESTART),
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
+    "zenoh_roundtrip": (q_zenoh_roundtrip, SQL_ZENOH_ROUNDTRIP),
     "read_single": (q_read_single, SQL_READ_SINGLE),
     "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
@@ -4537,6 +4608,7 @@ QUERIES = {k: QUERIES[k]
 # window order.  Union r1-r7 stays 119/119 (now 120/120) with max
 # staleness r5.
 _R7_CHANGED = [
+    "zenoh_roundtrip",
     "dedup_simhash_components", "dedup_minhash_components",
     "dedup_minhash", "dedup_components",
     "dedup_simhash_pairs", "dedup_simhash",

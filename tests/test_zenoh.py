@@ -1,0 +1,477 @@
+"""Zenoh API adapter: config/env parsing, credential injection,
+attachment codecs, NTP64 timestamp rules, key-expression routing, and
+the subscriber/queryable pipelines end-to-end over a RecordStore
+(reference: api/zenoh.rs, api/zenoh/{subscriber,queryable,session,
+attachments}.rs, cfg/zenoh.rs)."""
+
+import json
+import os
+
+import pytest
+
+from reductstore_spark.sources.store import RecordStore
+from reductstore_spark.sources.zenoh import (
+    FALLBACK_ZENOH_SOURCE_ID,
+    InProcZenohSession,
+    InvalidZenohConfig,
+    IngestError,
+    QueryAttachments,
+    QueryError,
+    Reply,
+    ReplyError,
+    SubscriberPipeline,
+    ZenohApiConfig,
+    ZenohTimestamp,
+    build_reply_timestamp,
+    build_zenoh_config,
+    deserialize_labels,
+    deserialize_query_attachments,
+    ensure_bucket_exists,
+    inject_credentials,
+    keyexpr_matches,
+    ntp64_from_micros,
+    ntp64_to_micros,
+    parse_inline_config,
+    parse_last_param,
+    parse_locality,
+    parse_selector,
+    parse_strict_param,
+    parse_time_range_params,
+    parse_timestamp_from_labels,
+    parse_timestamp_param,
+    serialize_labels,
+    spawn_runtime,
+    timestamp_from_microseconds,
+)
+
+US = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# config (cfg/zenoh.rs, session.rs:169-367)
+# ---------------------------------------------------------------------------
+
+def test_config_defaults_disabled():
+    cfg = ZenohApiConfig()
+    assert cfg.enabled is False
+    assert cfg.bucket == "zenoh"
+    assert cfg.sub_keyexprs is None and cfg.query_keyexprs is None
+    assert cfg.query_locality == "Any"
+
+
+def test_config_from_env():
+    env = {
+        "RS_ZENOH_ENABLED": "true",
+        "RS_ZENOH_CONFIG": "mode=client",
+        "RS_ZENOH_BUCKET": "telemetry",
+        "RS_ZENOH_SUB_KEYEXPRS": "sensors/**",
+        "RS_ZENOH_QUERY_KEYEXPRS": "**",
+        "RS_ZENOH_QUERY_LOCALITY": "remote",
+        "RS_ZENOH_TLS_ROOT_CA": "ca-pem",
+    }
+    cfg = ZenohApiConfig.from_env(env)
+    assert cfg.enabled and cfg.bucket == "telemetry"
+    assert cfg.sub_keyexprs == "sensors/**"
+    assert cfg.query_locality == "Remote"
+    assert cfg.tls_root_ca_cert == "ca-pem"
+    assert ZenohApiConfig.from_env({}).enabled is False
+
+
+def test_parse_locality_variants():
+    assert parse_locality("sessionlocal") == "SessionLocal"
+    assert parse_locality("ANY") == "Any"
+    with pytest.raises(InvalidZenohConfig):
+        parse_locality("everywhere")
+
+
+def test_parse_inline_simple_and_nested():
+    assert parse_inline_config("mode=client") == {"mode": "client"}
+    cfg = parse_inline_config("mode=client;scouting/multicast/enabled=false")
+    assert cfg == {"mode": "client",
+                   "scouting": {"multicast": {"enabled": False}}}
+
+
+def test_parse_inline_arrays_numbers_and_empty_parts():
+    cfg = parse_inline_config(
+        "connect/endpoints=[tcp/10.0.0.1:7447, tcp/10.0.0.2:7447];"
+        "timeout=5;;")
+    assert cfg["connect"]["endpoints"] == [
+        "tcp/10.0.0.1:7447", "tcp/10.0.0.2:7447"]
+    assert cfg["timeout"] == 5
+
+
+def test_parse_inline_json5_and_errors():
+    assert parse_inline_config('{ mode: "client" }') == {"mode": "client"}
+    with pytest.raises(InvalidZenohConfig, match="expected key=value"):
+        parse_inline_config("mode")
+    with pytest.raises(InvalidZenohConfig, match="Invalid JSON5"):
+        parse_inline_config("{ invalid json }")
+
+
+def test_build_config_requires_source(tmp_path):
+    with pytest.raises(InvalidZenohConfig,
+                       match="RS_ZENOH_CONFIG or RS_ZENOH_CONFIG_PATH"):
+        build_zenoh_config(ZenohApiConfig(enabled=True))
+    with pytest.raises(InvalidZenohConfig, match="does not exist"):
+        build_zenoh_config(ZenohApiConfig(
+            enabled=True, config_path=str(tmp_path / "nope.json5")))
+    p = tmp_path / "z.json5"
+    p.write_text('{ mode: "peer" }  // comment\n')
+    cfg, cred = build_zenoh_config(ZenohApiConfig(
+        enabled=True, config_path=str(p)))
+    assert cfg["mode"] == "peer"
+    cred.cleanup()
+
+
+def test_inject_credentials_roundtrip():
+    zcfg = {}
+    cred = inject_credentials(zcfg, ZenohApiConfig(
+        tls_root_ca_cert="root-ca-content",
+        tls_connect_cert="client-cert",
+        tls_connect_key="client-key",
+        auth_dictionary="user1:pass1\nuser2:pass2"))
+    try:
+        tls = zcfg["transport"]["link"]["tls"]
+        assert open(tls["root_ca_certificate"]).read() == "root-ca-content"
+        assert open(tls["connect_certificate"]).read() == "client-cert"
+        assert open(tls["connect_private_key"]).read() == "client-key"
+        dict_path = zcfg["transport"]["auth"]["usrpwd"]["dictionary_file"]
+        assert open(dict_path).read() == "user1:pass1\nuser2:pass2"
+        assert os.path.basename(tls["root_ca_certificate"]).startswith(
+            "zenoh_root_ca")
+    finally:
+        cred.cleanup()
+    assert not os.path.exists(tls["root_ca_certificate"])
+
+
+def test_inject_no_credentials_leaves_config_unchanged():
+    zcfg = {"mode": "client"}
+    cred = inject_credentials(zcfg, ZenohApiConfig())
+    assert zcfg == {"mode": "client"}
+    assert cred.tls_root_ca is None and cred.auth_dictionary is None
+
+
+# ---------------------------------------------------------------------------
+# attachments (attachments.rs)
+# ---------------------------------------------------------------------------
+
+def test_labels_roundtrip_and_errors():
+    labels = {"sensor": "imu", "unit": "m/s^2"}
+    assert deserialize_labels(serialize_labels(labels)) == labels
+    with pytest.raises(ValueError):
+        deserialize_labels(b"not-json")
+    with pytest.raises(ValueError):
+        deserialize_labels(b'{"a": 1}')  # Labels = map<string,string>
+
+
+def test_query_attachments():
+    att = deserialize_query_attachments(b'{"when": {"&label": "value"}}')
+    assert att.when == {"&label": "value"}
+    assert deserialize_query_attachments(b"{}").when is None
+    with pytest.raises(ValueError):
+        deserialize_query_attachments(b"[1]")
+
+
+# ---------------------------------------------------------------------------
+# NTP64 timestamps (session.rs:709-770)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("us", [0, 1, 999_999, 42 * US,
+                                1_704_067_200 * US + 123_456])
+def test_ntp64_roundtrips_microseconds(us):
+    assert ntp64_to_micros(ntp64_from_micros(us)) == us
+
+
+def test_reply_timestamp_prefers_label_values():
+    ts = ZenohTimestamp.from_micros(42 * US, 99)
+    labels = {"zenoh_ts_ntp64": str(ts.ntp64), "zenoh_source_id": "99"}
+    got = build_reply_timestamp(labels, 1)
+    assert got.ntp64 == ts.ntp64 and got.source_id == "99"
+
+
+def test_timestamp_from_microseconds_source_id_paths():
+    got = timestamp_from_microseconds({"zenoh_source_id": "123"}, 500_000)
+    assert got.source_id == "123" and got.to_micros() == 500_000
+    fell = timestamp_from_microseconds({}, 750_000)
+    assert fell.source_id == str(FALLBACK_ZENOH_SOURCE_ID)
+    bad = timestamp_from_microseconds({"zenoh_source_id": "zid"}, 1)
+    assert bad.source_id == str(FALLBACK_ZENOH_SOURCE_ID)
+
+
+def test_bad_ntp64_label_falls_back_to_record_micros():
+    labels = {"zenoh_ts_ntp64": "not-a-number", "zenoh_source_id": "5"}
+    assert parse_timestamp_from_labels(labels) is None
+    got = build_reply_timestamp(labels, 9 * US)
+    assert got.to_micros() == 9 * US and got.source_id == "5"
+
+
+# ---------------------------------------------------------------------------
+# key expressions + selectors
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("declared,key,match", [
+    ("**", "a/b/c", True),
+    ("**", "a", True),
+    ("a/*/c", "a/b/c", True),
+    ("a/*/c", "a/c", False),
+    ("a/**", "a", True),
+    ("a/**", "a/b/c", True),
+    ("a/**/d", "a/d", True),
+    ("a/**/d", "a/b/c/d", True),
+    ("a/**/d", "a/b/c", False),
+    ("sensor$*", "sensor42", True),
+    ("sensor$*", "actuator42", False),
+    ("a/b", "a/b", True),
+    ("a/b", "a/c", False),
+])
+def test_keyexpr_matching(declared, key, match):
+    assert keyexpr_matches(declared, key) is match
+
+
+def test_parse_selector():
+    key, params = parse_selector("sensors/temp?start=1&stop=2&last=true")
+    assert key == "sensors/temp"
+    assert params == {"start": "1", "stop": "2", "last": "true"}
+    assert parse_selector("a/b") == ("a/b", {})
+
+
+# ---------------------------------------------------------------------------
+# queryable parameter parsing (queryable.rs:149-216)
+# ---------------------------------------------------------------------------
+
+def test_param_parsing_happy_paths():
+    assert parse_timestamp_param({"ts": "123"}) == 123
+    assert parse_timestamp_param({}) is None
+    assert parse_last_param({"last": "true"}) is True
+    assert parse_last_param({"last": "false"}) is False
+    assert parse_last_param({}) is False
+    assert parse_strict_param({}) is None
+    assert parse_strict_param({"strict": "true"}) is True
+    assert parse_time_range_params({"start": "100", "stop": "200"}) == \
+        (100, 200)
+    assert parse_time_range_params({}) == (None, None)
+
+
+@pytest.mark.parametrize("fn,params,msg", [
+    (parse_timestamp_param, {"ts": "abc"},
+     "'ts' must be an unsigned integer"),
+    (parse_timestamp_param, {"ts": "-1"},
+     "'ts' must be an unsigned integer"),
+    (parse_last_param, {"last": "abc"}, "'last' must be a boolean value"),
+    (parse_strict_param, {"strict": "1"},
+     "'strict' must be a boolean value"),
+    (parse_time_range_params, {"start": "x"},
+     "'start' must be an unsigned integer"),
+    (parse_time_range_params, {"start": "1", "stop": "x"},
+     "'stop' must be an unsigned integer"),
+])
+def test_param_parsing_errors_match_reference(fn, params, msg):
+    with pytest.raises(QueryError) as err:
+        fn(params)
+    assert str(err.value) == msg and err.value.kind == "param"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end runtime over a RecordStore
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def zenoh_env(spark, tmp_path_factory):
+    """One runtime, a handful of published samples, shared across the
+    read-only tests below."""
+    root = str(tmp_path_factory.mktemp("zenoh") / "store")
+    store = RecordStore(spark, root)
+    config = ZenohApiConfig(
+        enabled=True, config_inline="mode=client",
+        sub_keyexprs="sensors/**", query_keyexprs="**")
+    runtime = spawn_runtime(config, store, now_us=lambda: 4 * US)
+    s = runtime.session
+
+    def put(key, us, value, src=7):
+        ts = ZenohTimestamp.from_micros(us, src)
+        return s.put(key, json.dumps({"v": value}).encode(),
+                     encoding="application/json",
+                     attachment=serialize_labels({"value": str(value)}),
+                     timestamp=ts)
+
+    assert put("sensors/temp", 1 * US, 10) == 1
+    assert put("sensors/temp", 2 * US, 20) == 1
+    assert put("sensors/temp", 3 * US, 30) == 1
+    # trimmed key, no attachment, no timestamp -> injected clock
+    assert s.put("/sensors/hum/", b"h1") == 1
+    # outside the subscriber's key expression: never delivered
+    assert s.put("other/x", b"nope") == 0
+    yield store, runtime
+    runtime.shutdown()
+
+
+def test_spawn_runtime_disabled(spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    assert spawn_runtime(ZenohApiConfig(), store) is None
+
+
+def test_spawn_runtime_requires_config(spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    with pytest.raises(InvalidZenohConfig):
+        spawn_runtime(ZenohApiConfig(enabled=True,
+                                     sub_keyexprs="**"), store)
+
+
+def test_subscriber_ingests_samples(zenoh_env):
+    store, _ = zenoh_env
+    entries = dict.fromkeys(e for _, e in store.entries("zenoh"))
+    assert set(entries) == {"sensors/temp", "sensors/hum"}
+    rows = {r["ts"]: r for r in store.read().where(
+        "entry = 'sensors/temp'").collect()}
+    assert set(rows) == {1 * US, 2 * US, 3 * US}
+    r = rows[2 * US]
+    assert bytes(r["payload"]) == b'{"v": 20}'
+    assert r["content_type"] == "application/json"
+    # attachment labels + zenoh source labels (source wins on clash)
+    assert r["labels"]["value"] == "20"
+    assert r["labels"]["zenoh_source_id"] == "7"
+    assert int(r["labels"]["zenoh_ts_ntp64"]) == ntp64_from_micros(2 * US)
+
+
+def test_subscriber_trims_key_and_stamps_clock(zenoh_env):
+    store, _ = zenoh_env
+    row = store.read().where("entry = 'sensors/hum'").collect()[0]
+    assert row["ts"] == 4 * US  # injected now_us
+    assert row["labels"] == {}
+
+
+def test_bucket_autocreated(zenoh_env):
+    store, _ = zenoh_env
+    with open(store._settings_file()) as fh:
+        assert "zenoh" in json.load(fh)
+
+
+def test_query_exact_timestamp(zenoh_env):
+    _, runtime = zenoh_env
+    replies = runtime.session.get("sensors/temp?ts=2000000")
+    assert len(replies) == 1
+    r = replies[0]
+    assert isinstance(r, Reply)
+    assert r.payload == b'{"v": 20}'
+    assert r.encoding == "application/json"
+    assert deserialize_labels(r.attachment)["value"] == "20"
+    # label-preferred timestamp reproduces the put's NTP64 exactly
+    assert r.timestamp.ntp64 == ntp64_from_micros(2 * US)
+    assert r.timestamp.source_id == "7"
+
+
+def test_query_last(zenoh_env):
+    _, runtime = zenoh_env
+    replies = runtime.session.get("sensors/hum?last=true")
+    assert len(replies) == 1
+    # no zenoh labels on this record -> microsecond + fallback-id path
+    assert replies[0].timestamp.to_micros() == 4 * US
+    assert replies[0].timestamp.source_id == "1"
+
+
+def test_query_stream_with_range_and_when(zenoh_env):
+    _, runtime = zenoh_env
+    replies = runtime.session.get(
+        "sensors/temp?start=1000000&stop=4000000",
+        attachment=json.dumps(
+            {"when": {"&value": {"$gt": 15}}}).encode())
+    got = sorted(r.timestamp.to_micros() for r in replies)
+    assert got == [2 * US, 3 * US]
+    assert all(isinstance(r, Reply) for r in replies)
+
+
+def test_query_param_errors_reply_err(zenoh_env):
+    _, runtime = zenoh_env
+    (err,) = runtime.session.get("sensors/temp?ts=abc")
+    assert isinstance(err, ReplyError)
+    assert err.message == "'ts' must be an unsigned integer"
+
+
+def test_query_not_found_errors(zenoh_env):
+    _, runtime = zenoh_env
+    (err,) = runtime.session.get("sensors/none?last=true")
+    assert "No records in entry sensors/none" in err.message
+    (err,) = runtime.session.get("sensors/temp?ts=99")
+    assert "Record 99 not found in entry zenoh/sensors/temp" in err.message
+
+
+def test_malformed_attachment_downgrades_to_empty_labels(
+        spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    pipe = SubscriberPipeline(
+        ZenohApiConfig(bucket="b1"), store, now_us=lambda: 5)
+    out = pipe.handle_sample("e1", b"x", attachment=b"not-json")
+    assert out == {"bucket": "b1", "entry": "e1", "ts": 5, "size": 1}
+    assert store.read().collect()[0]["labels"] == {}
+
+
+def test_ingress_limit_rejects_sample(spark, tmp_path):
+    # subscriber.rs:189-213 — the limits hook rejects before any write
+    def deny(n):
+        raise RuntimeError(f"too many ingress bytes: {n}")
+
+    store = RecordStore(spark, str(tmp_path / "s"))
+    pipe = SubscriberPipeline(ZenohApiConfig(), store, check_ingress=deny)
+    with pytest.raises(IngestError, match="ingress bytes"):
+        pipe.handle_sample("e1", b"ab")
+    assert store.read().count() == 0
+
+
+def test_api_limit_replies_error(spark, tmp_path):
+    # session.rs:499-508 — rate-limited queries answer with reply_err
+    calls = {"n": 0}
+
+    def limit_once():
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("too many api requests")
+
+    store = RecordStore(spark, str(tmp_path / "s"))
+    config = ZenohApiConfig(enabled=True, config_inline="mode=client",
+                            query_keyexprs="**")
+    runtime = spawn_runtime(config, store)
+    runtime.queryable.check_api_request = limit_once
+    try:
+        first = runtime.session.get("e?last=true")
+        assert "No records in entry e" in first[0].message  # storage err
+        (second,) = runtime.session.get("e?last=true")
+        assert isinstance(second, ReplyError)
+        assert second.message == "too many api requests"
+    finally:
+        runtime.shutdown()
+
+
+def test_stream_reply_respects_batch_max_records(zenoh_env):
+    from reductstore_spark.functions.cursor import IoSettings
+    _, runtime = zenoh_env
+    pipe = runtime.queryable
+    result = pipe.handle_query("sensors/temp", {}, QueryAttachments())
+    result.io = IoSettings(batch_max_records=2)
+    assert len(pipe.reply_for(result)) == 2
+
+
+def test_queryable_locality_filters_origins(zenoh_env):
+    _, runtime = zenoh_env
+    s = InProcZenohSession()
+    s.declare_queryable("**", lambda q: [ReplyError(b"hi")],
+                        allowed_origin="Remote")
+    assert s.get("x", origin="SessionLocal") == []
+    assert len(s.get("x", origin="Remote")) == 1
+
+
+def test_shutdown_undeclares(spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    config = ZenohApiConfig(enabled=True, config_inline="mode=client",
+                            sub_keyexprs="**", query_keyexprs="**")
+    runtime = spawn_runtime(config, store)
+    runtime.shutdown()
+    assert runtime.session.put("a/b", b"x") == 0
+    assert runtime.session.get("a/b?last=true") == []
+
+
+def test_ensure_bucket_exists_idempotent(spark, tmp_path):
+    store = RecordStore(spark, str(tmp_path / "s"))
+    ensure_bucket_exists(store, "zb")
+    before = open(store._settings_file()).read()
+    ensure_bucket_exists(store, "zb")
+    assert open(store._settings_file()).read() == before
