@@ -1862,6 +1862,56 @@ GROUP BY d.doc_id
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Global repeated-span REMOVAL (C4 / Lee et al. 2022 exact-substring
+    dedup at fixed 8-word span granularity): every span occurring more
+    than once corpus-wide survives only at its first occurrence (lowest
+    packed ``(doc_id, pos)``), and each document is reassembled from its
+    surviving spans.  Output is the cleaned-corpus summary per doc —
+    span counts plus the md5 of the rebuilt text, so the oracle compares
+    the actual reassembled strings, not just cardinalities."""
+    prep(spark)
+    from .operators.dedup import span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup(docs, "doc_id", "text", span_words=8)
+    return out.select("doc_id", "n_spans", "n_kept",
+                      F.md5("new_text").alias("new_md5"))
+
+
+SQL_DEDUP_SPANS = """
+WITH docs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+  FROM documents WHERE length(coalesce(text, '')) > 0
+),
+spans AS (
+  SELECT doc_id, t.i AS span_pos,
+         array_to_string(list_slice(arr, t.i*8+1, t.i*8+8), ' ') AS span
+  FROM docs, UNNEST(range(0, CAST(ceil(len(arr)/8.0) AS BIGINT))) AS t(i)
+),
+firsts AS (
+  SELECT span, min(doc_id * 1048576 + span_pos) AS fkey
+  FROM spans GROUP BY span
+),
+kept AS (
+  SELECT s.doc_id, s.span_pos, s.span
+  FROM spans s JOIN firsts f ON s.span = f.span
+  WHERE s.doc_id * 1048576 + s.span_pos = f.fkey
+),
+stats AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY span_pos) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.new_text, '')) AS new_md5
+FROM documents d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test split by content-independent hash of
     the document id — reproducible across runs, engines, and cluster
@@ -4428,6 +4478,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "store_roundtrip": (q_store_roundtrip, SQL_STORE_ROUNDTRIP),
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
     "zenoh_roundtrip": (q_zenoh_roundtrip, SQL_ZENOH_ROUNDTRIP),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "read_single": (q_read_single, SQL_READ_SINGLE),
     "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
@@ -4608,7 +4659,7 @@ QUERIES = {k: QUERIES[k]
 # window order.  Union r1-r7 stays 119/119 (now 120/120) with max
 # staleness r5.
 _R7_CHANGED = [
-    "zenoh_roundtrip",
+    "zenoh_roundtrip", "dedup_spans",
     "dedup_simhash_components", "dedup_minhash_components",
     "dedup_minhash", "dedup_components",
     "dedup_simhash_pairs", "dedup_simhash",

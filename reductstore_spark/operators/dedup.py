@@ -608,3 +608,78 @@ def connected_components(
     release_local_checkpoint(edges)
     _LIVE_CKPT.append(labels)  # freed by the caller's release_caches()
     return labels.select(F.col("id"), F.col("lbl").alias("component"))
+
+
+def span_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", span_words: int = 8) -> DataFrame:
+    """Global repeated-span REMOVAL: the C4 / "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., 2022) exact-substring
+    stage at fixed span granularity — every ``span_words``-word window of
+    every document is hashed corpus-wide, and any span that occurs more
+    than once survives only at its first occurrence (lowest
+    ``(doc_id, span_pos)``); all later copies are cut and the document
+    reassembled from its surviving spans.
+
+    Unlike the profiling operators (``ngram_novelty``,
+    ``shingle_dup_profile``, winnowing overlap) this is a *transform*:
+    it returns the cleaned corpus, one row per input document —
+
+        (id, n_spans, n_kept, new_text)
+
+    with ``new_text`` the space-joined surviving spans in original
+    order (empty when every span was cut or the text was empty/null).
+
+    100 TB shape: span construction is pure whole-stage-codegen Column
+    work on the split array (``slice``/``transform`` — no explode-
+    regroup shuffle just to window the words); the global first-
+    occurrence pass is ONE hash aggregation keyed on the span text and
+    ONE keyed join back (AQE is free to broadcast the firsts side when
+    the duplicate universe is small), then one re-aggregation per doc.
+    Nothing is quadratic: a span repeated a million times costs one
+    aggregate row.  The first-occurrence key packs ``(doc_id, pos)``
+    into a single long (``doc_id * 2^20 + pos``) so the min-aggregation
+    is a primitive ``min(long)``; documents are capped at 2^20 spans
+    (≈8M words) — raise the shift for longer documents.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    arr = F.split(txt, " ")
+    n_sp = F.ceil(F.size(arr) / F.lit(span_words)).cast("int")
+    # split("") is [""] in both engines — an empty/null text must yield
+    # ZERO spans, so gate on the text length, not the array size
+    spans_col = F.when(F.length(txt) == 0,
+                       F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), n_sp - 1),
+            lambda i: F.array_join(
+                F.slice(arr, i * span_words + 1, span_words), " ")))
+
+    sp = (df.select(F.col(id_col).alias("__id"), spans_col.alias("__sp"))
+            .select("__id", F.posexplode_outer("__sp")
+                    .alias("__pos", "__span")))
+    # packed (doc_id, pos) so first-occurrence is min(long), not
+    # min(struct) — identical ordering, cheaper aggregate
+    key = (F.col("__id") * F.lit(1 << 20) + F.coalesce("__pos", F.lit(0)))
+    sp = sp.withColumn("__key", key)
+
+    firsts = sp.groupBy("__span").agg(F.min("__key").alias("__first"))
+    kept = (sp.join(firsts, "__span")
+              .where(F.col("__key") == F.col("__first")))
+
+    stats = sp.where(F.col("__span").isNotNull()).groupBy("__id").agg(
+        F.count("*").alias("n_spans"))
+    rebuilt = (kept.where(F.col("__span").isNotNull())
+               .groupBy("__id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__span"))),
+                            lambda s: s["__span"]), " ").alias("new_text")))
+    out = (df.select(F.col(id_col).alias("__id"))
+           .join(stats, "__id", "left")
+           .join(rebuilt, "__id", "left")
+           .select(F.col("__id").alias(id_col),
+                   F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                   F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                   F.coalesce("new_text", F.lit("")).alias("new_text")))
+    return out

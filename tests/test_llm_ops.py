@@ -482,3 +482,43 @@ def test_cosine_pd_degenerate_inputs_match_column_kernel(spark):
                                 "a array<double>, b array<double>")
     assert [r["x"] for r in df2.select(
         cosine_pd(F.col("a"), F.col("b")).alias("x")).collect()] == [None] * 3
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from reductstore_spark.operators.dedup import span_dedup
+
+    # k=2 spans: doc 1 = [a b][c d], doc 2 = [c d][x y] (span "c d"
+    # repeats -> survives only in doc 1), doc 3 = odd tail, doc 4 empty
+    rows = [(1, "a b c d"), (2, "c d x y"), (3, "a b e"), (4, None)]
+    out = {r["doc_id"]: r for r in span_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text", span_words=2).collect()}
+
+    assert out[1]["new_text"] == "a b c d"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["new_text"] == "x y"          # "c d" cut, first kept
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["new_text"] == "e"            # "a b" cut, odd tail kept
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (2, 1)
+    assert out[4]["new_text"] == ""             # null text -> zero spans
+    assert (out[4]["n_spans"], out[4]["n_kept"]) == (0, 0)
+
+
+def test_span_dedup_kept_equals_distinct_spans(spark, sf_dir):
+    """Every distinct span survives exactly once corpus-wide."""
+    from reductstore_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_dedup(docs, "doc_id", "text", span_words=8)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    arr = F.split(txt, " ")
+    spans = F.when(F.length(txt) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(F.size(arr) / F.lit(8)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(arr, i * 8 + 1, 8), " ")))
+    distinct = (docs.select(F.explode(spans).alias("s"))
+                .select("s").distinct().count())
+    assert total_kept == distinct
