@@ -2602,7 +2602,7 @@ def q_zenoh_roundtrip(spark, sf_dir):
     """The Zenoh API surface through the oracle gate (subscriber
     pipeline: api/zenoh/subscriber.rs:37-103; queryable pipeline:
     api/zenoh/queryable.rs:70-116; reply building:
-    api/zenoh/session.rs:580-707): publish the first 12 events through
+    api/zenoh/session.rs:580-707): publish the first 24 events through
     the in-process zenoh bus — one sample per event, payload = the props
     JSON, labels via a JSON attachment, an NTP64 sample timestamp — then
     read each entry back through the queryable with a ``when``
@@ -2620,10 +2620,10 @@ def q_zenoh_roundtrip(spark, sf_dir):
     prep(spark)
     sf_tag = sf_dir.rstrip("/").split("/")[-1]
     root = f"/tmp/spark_graft_zenoh_{sf_tag}"
-    marker = os.path.join(root, "_meta", "zenoh_v1")
+    marker = os.path.join(root, "_meta", "zenoh_v2")
 
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = (raw.where(F.col("event_id") < 12)
+    ev = (raw.where(F.col("event_id") < 24)
           .select("event_type", raw_ts_us(raw).alias("us"),
                   "value", "props")
           .collect())
@@ -2663,7 +2663,7 @@ def q_zenoh_roundtrip(spark, sf_dir):
 SQL_ZENOH_ROUNDTRIP = """
 SELECT 'ev/' || event_type AS entry, epoch_us(ts) AS ts, value,
        CAST(length(props) AS BIGINT) AS plen
-FROM events WHERE event_id < 12 AND value > 50
+FROM events WHERE event_id < 24 AND value > 50
 """
 
 
