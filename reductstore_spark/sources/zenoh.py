@@ -817,12 +817,16 @@ class QueryablePipeline:
             when=attachments.when, strict=bool(strict))
         return StreamResult(df, IoSettings())
 
-    def reply_for(self, result, *, clock=time.monotonic) -> List[Reply]:
+    def reply_for(self, result, key_expr: Optional[str] = None, *,
+                  clock=time.monotonic) -> List[Reply]:
         """session.rs:580-707 send_query_reply: record payload + label
         attachment + rebuilt timestamp per reply; streams stop at
-        ``batch_max_records`` or the batch timeout."""
+        ``batch_max_records`` or the batch timeout.  Replies carry the
+        QUERY's key expression verbatim (session.rs:606,681 clone
+        ``query.key_expr()``), not the record's entry name — the two
+        differ when the selector had surrounding slashes."""
         if isinstance(result, RecordResult):
-            return [self._row_to_reply(result.row)]
+            return [self._row_to_reply(result.row, key_expr)]
         replies: List[Reply] = []
         t0 = clock()
         for row in result.df.toLocalIterator():
@@ -830,17 +834,17 @@ class QueryablePipeline:
                 log.debug("Batch timeout reached after %d records",
                           len(replies))
                 break
-            replies.append(self._row_to_reply(row))
+            replies.append(self._row_to_reply(row, key_expr))
             if len(replies) >= result.io.batch_max_records:
                 break
         return replies
 
-    def _row_to_reply(self, row) -> Reply:
+    def _row_to_reply(self, row, key_expr: Optional[str] = None) -> Reply:
         data = bytes(row["payload"]) if row["payload"] is not None else b""
         self.check_egress(len(data))
         labels = dict(row["labels"] or {})
         return Reply(
-            key_expr=row["entry"],
+            key_expr=key_expr if key_expr is not None else row["entry"],
             payload=data,
             encoding=row["content_type"] or "application/octet-stream",
             attachment=serialize_labels(labels),
@@ -913,9 +917,11 @@ def spawn_runtime(config: ZenohApiConfig, store, *,
     if not config.enabled:
         return None
 
-    _zcfg, credentials = build_zenoh_config(config)
-
+    # bucket first, then transport config — the reference resolves
+    # storage state before it touches zenoh config (session.rs:53-78)
     ensure_bucket_exists(store, config.bucket)
+
+    _zcfg, credentials = build_zenoh_config(config)
 
     owns_session = session is None
     session = session or InProcZenohSession()
@@ -950,7 +956,7 @@ def spawn_runtime(config: ZenohApiConfig, store, *,
             try:
                 result = _q.handle_query(query.key_expr, query.params,
                                          attachments)
-                return _q.reply_for(result)
+                return _q.reply_for(result, query.key_expr)
             except Exception as err:
                 log.warning("Query handler error for '%s': %s",
                             query.key_expr, err)

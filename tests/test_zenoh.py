@@ -360,6 +360,16 @@ def test_query_exact_timestamp(zenoh_env):
     assert r.timestamp.source_id == "7"
 
 
+def test_reply_carries_query_key_expr_verbatim(zenoh_env):
+    # session.rs:606,681 — replies clone the QUERY's key expression,
+    # which keeps surrounding slashes the entry name had trimmed
+    _, runtime = zenoh_env
+    (r,) = runtime.session.get("/sensors/temp/?ts=2000000")
+    assert isinstance(r, Reply)
+    assert r.key_expr == "/sensors/temp/"
+    assert r.payload == b'{"v": 20}'
+
+
 def test_query_last(zenoh_env):
     _, runtime = zenoh_env
     replies = runtime.session.get("sensors/hum?last=true")
