@@ -485,3 +485,63 @@ def test_ensure_bucket_exists_idempotent(spark, tmp_path):
     before = open(store._settings_file()).read()
     ensure_bucket_exists(store, "zb")
     assert open(store._settings_file()).read() == before
+
+
+# -- key-expression metamorphic properties (hypothesis) ----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _chunks = st.lists(st.sampled_from(["a", "b", "ab", "x1"]),
+                       min_size=1, max_size=5)
+
+    @settings(max_examples=200, deadline=None)
+    @given(_chunks, st.data())
+    def test_keyexpr_generalization_still_matches(chunks, data):
+        """Replacing any chunk of a concrete key with ``*``, or any run
+        of chunks with ``**``, must keep matching that key."""
+        key = "/".join(chunks)
+        pattern = list(chunks)
+        i = data.draw(st.integers(0, len(chunks) - 1))
+        j = data.draw(st.integers(i, len(chunks) - 1))
+        mode = data.draw(st.sampled_from(["star", "dstar", "suffix"]))
+        if mode == "star":
+            pattern[i] = "*"
+        elif mode == "dstar":
+            pattern[i:j + 1] = ["**"]
+        else:
+            pattern[i:] = ["**"]
+        assert keyexpr_matches("/".join(pattern), key)
+
+    @settings(max_examples=200, deadline=None)
+    @given(_chunks, st.data())
+    def test_keyexpr_foreign_chunk_never_matches(chunks, data):
+        """Changing one literal chunk to a token outside the alphabet
+        breaks the match, however the others are wildcarded — unless a
+        ``**`` spans the changed position."""
+        key = "/".join(chunks)
+        pattern = list(chunks)
+        i = data.draw(st.integers(0, len(chunks) - 1))
+        pattern[i] = "FOREIGN"
+        assert not keyexpr_matches("/".join(pattern), key)
+        # but wildcarding that same position restores the match
+        pattern[i] = "*"
+        assert keyexpr_matches("/".join(pattern), key)
+
+    @settings(max_examples=200, deadline=None)
+    @given(_chunks)
+    def test_keyexpr_exact_and_depth_properties(chunks):
+        key = "/".join(chunks)
+        assert keyexpr_matches(key, key)          # reflexive
+        assert keyexpr_matches("**", key)         # top matches all
+        # one extra concrete chunk changes the depth: plain key no
+        # longer matches, a trailing ** absorbs it
+        longer = key + "/zz"
+        assert not keyexpr_matches(key, longer)
+        assert keyexpr_matches(key + "/**", longer)
+        assert keyexpr_matches(key + "/**", key)  # ** matches zero
