@@ -427,6 +427,26 @@ def test_ingress_limit_rejects_sample(spark, tmp_path):
     assert store.read().count() == 0
 
 
+def test_subscriber_api_limit_rejects_second_sample(spark, tmp_path):
+    # subscriber.rs:215-251 — the api-request limit rejects the write
+    # path too: first sample lands, second is refused before any write
+    calls = {"n": 0}
+
+    def limit_once():
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("too many api requests")
+
+    store = RecordStore(spark, str(tmp_path / "s"))
+    pipe = SubscriberPipeline(ZenohApiConfig(bucket="b1"), store,
+                              check_api_request=limit_once,
+                              now_us=lambda: 1)
+    assert pipe.handle_sample("e", b"a", timestamp=101)["ts"] == 101
+    with pytest.raises(IngestError, match="api requests"):
+        pipe.handle_sample("e", b"a", timestamp=102)
+    assert store.read().count() == 1
+
+
 def test_api_limit_replies_error(spark, tmp_path):
     # session.rs:499-508 — rate-limited queries answer with reply_err
     calls = {"n": 0}
