@@ -662,22 +662,28 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
     sp = sp.withColumn("__key", key)
 
     firsts = sp.groupBy("__span").agg(F.min("__key").alias("__first"))
-    kept = (sp.join(firsts, "__span")
-              .where(F.col("__key") == F.col("__first")))
-
-    stats = sp.where(F.col("__span").isNotNull()).groupBy("__id").agg(
-        F.count("*").alias("n_spans"))
-    rebuilt = (kept.where(F.col("__span").isNotNull())
-               .groupBy("__id")
-               .agg(F.count("*").alias("n_kept"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("__pos", "__span"))),
-                            lambda s: s["__span"]), " ").alias("new_text")))
+    # annotate kept-ness on the full span stream, then fold the span
+    # count, the kept count, AND the reassembly into ONE per-doc
+    # aggregate — the scan+split+explode subtree executes twice (the
+    # firsts aggregate and the join probe), not once per output column.
+    # A window over the span partition would get it to once, but a hot
+    # boilerplate span then lands on a single reducer with no partial
+    # aggregation and no AQE remedy; the equi-join keeps AQE's
+    # skew-split applicable.  collect_list drops the nulls the `when`
+    # leaves on non-first copies.
+    ann = (sp.where(F.col("__span").isNotNull())
+             .join(firsts, "__span"))
+    is_first = F.col("__key") == F.col("__first")
+    agg = ann.groupBy("__id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(is_first.cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(is_first, F.struct("__pos", "__span")))),
+                lambda s: s["__span"]), " ").alias("new_text"))
     out = (df.select(F.col(id_col).alias("__id"))
-           .join(stats, "__id", "left")
-           .join(rebuilt, "__id", "left")
+           .join(agg, "__id", "left")
            .select(F.col("__id").alias(id_col),
                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
