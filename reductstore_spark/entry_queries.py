@@ -2627,6 +2627,14 @@ def q_zenoh_roundtrip(spark, sf_dir):
           .select("event_type", raw_ts_us(raw).alias("us"),
                   "value", "props")
           .collect())
+    # the parity gate silently depends on (event_type, µs) uniqueness:
+    # RecordStore.write shadows same-(bucket,entry,ts) rows, so a clash
+    # would leave Spark one record where the oracle counts both.  Fail
+    # loudly if the testdata ever grows such a pair instead of letting
+    # the gate break data-dependently.
+    keys = [(r["event_type"], r["us"]) for r in ev]
+    assert len(keys) == len(set(keys)), \
+        "zenoh_roundtrip testdata has duplicate (event_type, ts) keys"
     config = Z.ZenohApiConfig(
         enabled=True, config_inline="mode=client",
         sub_keyexprs="ev/**", query_keyexprs="ev/**")
@@ -2662,7 +2670,7 @@ def q_zenoh_roundtrip(spark, sf_dir):
 
 SQL_ZENOH_ROUNDTRIP = """
 SELECT 'ev/' || event_type AS entry, epoch_us(ts) AS ts, value,
-       CAST(length(props) AS BIGINT) AS plen
+       CAST(octet_length(encode(props)) AS BIGINT) AS plen
 FROM events WHERE event_id < 24 AND value > 50
 """
 

@@ -268,15 +268,22 @@ _CREDENTIAL_KEYS = (
 def inject_credentials(zenoh_config: dict,
                        config: ZenohApiConfig) -> CredentialFiles:
     """session.rs:187-263 — write each inline credential to a temp file
-    and point the transport config at it."""
+    and point the transport config at it.  A failure mid-way (a later
+    ``_config_insert`` raising) must not strand the secret files already
+    on disk — the reference's ``NamedTempFile`` auto-deletes on drop, so
+    any partially-built set is cleaned up before the error propagates."""
     cred = CredentialFiles()
-    for attr, prefix, suffix, cfg_path, slot in _CREDENTIAL_KEYS:
-        content = getattr(config, attr)
-        if content is None:
-            continue
-        path = write_credential_file(prefix, suffix, content)
-        _config_insert(zenoh_config, cfg_path, path)
-        setattr(cred, slot, path)
+    try:
+        for attr, prefix, suffix, cfg_path, slot in _CREDENTIAL_KEYS:
+            content = getattr(config, attr)
+            if content is None:
+                continue
+            path = write_credential_file(prefix, suffix, content)
+            setattr(cred, slot, path)
+            _config_insert(zenoh_config, cfg_path, path)
+    except Exception:
+        cred.cleanup()
+        raise
     return cred
 
 
@@ -787,6 +794,17 @@ class QueryablePipeline:
         entry_name = key_expr.strip("/")
         records = self.store.read()
 
+        # queryable.rs:89 resolves bucket.get_entry() BEFORE any of the
+        # three branches: a selector naming a non-existent entry replies
+        # the storage not-found error (bucket.rs:123-134 message shape),
+        # never an empty stream or a misleading record-not-found.
+        known = {e for _b, e in
+                 self.store.entries(self.bucket, include_hidden=True)}
+        if entry_name not in known:
+            raise QueryError(
+                f"Entry '{entry_name}' not found in bucket "
+                f"'{self.bucket}'")
+
         ts = parse_timestamp_param(params)
         if ts is not None:
             rows = self.engine.read_one(
@@ -802,9 +820,33 @@ class QueryablePipeline:
             info = self.store.entry_info(self.bucket, entry_name)
             if info["record_count"] == 0:
                 raise QueryError(f"No records in entry {entry_name}")
+            latest = info["latest_record"]
             rows = self.engine.read_one(
-                records, self.bucket, entry_name,
-                info["latest_record"]).collect()
+                records, self.bucket, entry_name, latest).collect()
+            if not rows:
+                # entry.info() counts records of EVERY state while
+                # read_one serves only FINISHED ones — mirror the
+                # begin_read errors (read_record.rs:44-60) instead of
+                # surfacing an opaque IndexError to the client
+                from ..schema import STATE_ERRORED, STATE_STARTED
+                st = (records.where(
+                    (records["bucket"] == self.bucket)
+                    & (records["entry"] == entry_name)
+                    & (records["ts"] == latest))
+                    .select("state").collect())
+                state = st[0]["state"] if st else None
+                if state == STATE_STARTED:
+                    raise QueryError(
+                        f"Record with timestamp {latest} in "
+                        f"{self.bucket}/{entry_name} is still being "
+                        f"written")
+                if state == STATE_ERRORED:
+                    raise QueryError(
+                        f"Record with timestamp {latest} in "
+                        f"{self.bucket}/{entry_name} is broken")
+                raise QueryError(
+                    f"Record {latest} not found in entry "
+                    f"{self.bucket}/{entry_name}")
             return RecordResult(rows[0])
 
         start, stop = parse_time_range_params(params)
@@ -927,44 +969,56 @@ def spawn_runtime(config: ZenohApiConfig, store, *,
     session = session or InProcZenohSession()
     handles = []
 
-    subscriber = None
-    if config.sub_keyexprs is not None:
-        subscriber = SubscriberPipeline(config, store, now_us=now_us)
-        subscriber.bootstrap()
-        handles.append(session.declare_subscriber(
-            config.sub_keyexprs, subscriber.handle_zenoh_sample))
+    try:
+        subscriber = None
+        if config.sub_keyexprs is not None:
+            subscriber = SubscriberPipeline(config, store, now_us=now_us)
+            subscriber.bootstrap()
+            handles.append(session.declare_subscriber(
+                config.sub_keyexprs, subscriber.handle_zenoh_sample))
 
-    queryable = None
-    if config.query_keyexprs is not None:
-        queryable = QueryablePipeline(config, store, engine)
-        queryable.bootstrap()
+        queryable = None
+        if config.query_keyexprs is not None:
+            queryable = QueryablePipeline(config, store, engine)
+            queryable.bootstrap()
 
-        def _handle(query: Query, _q=queryable) -> List[object]:
-            try:
-                _q.check_api_request()
-            except Exception as err:
-                log.warning("Query request limit exceeded for '%s': %s",
-                            query.key_expr, err)
-                return [ReplyError(str(err).encode())]
-            try:
-                attachments = (deserialize_query_attachments(
-                    query.attachment) if query.attachment is not None
-                    else QueryAttachments())
-            except ValueError as err:
-                log.debug("Failed to parse query attachments: %s", err)
-                attachments = QueryAttachments()
-            try:
-                result = _q.handle_query(query.key_expr, query.params,
-                                         attachments)
-                return _q.reply_for(result, query.key_expr)
-            except Exception as err:
-                log.warning("Query handler error for '%s': %s",
-                            query.key_expr, err)
-                return [ReplyError(str(err).encode())]
+            def _handle(query: Query, _q=queryable) -> List[object]:
+                try:
+                    _q.check_api_request()
+                except Exception as err:
+                    log.warning("Query request limit exceeded for "
+                                "'%s': %s", query.key_expr, err)
+                    return [ReplyError(str(err).encode())]
+                try:
+                    attachments = (deserialize_query_attachments(
+                        query.attachment) if query.attachment is not None
+                        else QueryAttachments())
+                except ValueError as err:
+                    log.debug("Failed to parse query attachments: %s", err)
+                    attachments = QueryAttachments()
+                try:
+                    result = _q.handle_query(query.key_expr, query.params,
+                                             attachments)
+                    return _q.reply_for(result, query.key_expr)
+                except Exception as err:
+                    log.warning("Query handler error for '%s': %s",
+                                query.key_expr, err)
+                    return [ReplyError(str(err).encode())]
 
-        handles.append(session.declare_queryable(
-            config.query_keyexprs, _handle,
-            allowed_origin=config.query_locality))
+            handles.append(session.declare_queryable(
+                config.query_keyexprs, _handle,
+                allowed_origin=config.query_locality))
+    except Exception:
+        # the reference's credential NamedTempFiles drop (auto-delete)
+        # when the spawn fails after the config build (session.rs:41-137)
+        # — mirror that so TLS keys / auth dictionaries never outlive a
+        # failed bootstrap/declare
+        for h in handles:
+            session.undeclare(h)
+        credentials.cleanup()
+        if owns_session:
+            session.close()
+        raise
 
     log.info("Zenoh API runtime started: %d subscribers, %d queryables",
              1 if subscriber else 0, 1 if queryable else 0)

@@ -6,6 +6,7 @@ attachments}.rs, cfg/zenoh.rs)."""
 
 import json
 import os
+import tempfile
 
 import pytest
 
@@ -142,6 +143,38 @@ def test_inject_credentials_roundtrip():
     finally:
         cred.cleanup()
     assert not os.path.exists(tls["root_ca_certificate"])
+
+
+def test_inject_credentials_failure_cleans_temp_files():
+    # the reference's NamedTempFile auto-deletes on drop — a mid-way
+    # _config_insert failure must not strand already-written secrets
+    zcfg = {"transport": "not-a-section"}
+    with pytest.raises(InvalidZenohConfig, match="not a section"):
+        inject_credentials(zcfg, ZenohApiConfig(
+            tls_root_ca_cert="root-ca-content"))
+    leftovers = [f for f in os.listdir(tempfile.gettempdir())
+                 if f.startswith("zenoh_root_ca")]
+    assert leftovers == []
+
+
+def test_spawn_failure_cleans_credentials(spark, tmp_path, monkeypatch):
+    # spawn_runtime failing AFTER build_zenoh_config (bootstrap/declare
+    # error) must cleanup the injected credential files before re-raising
+    import reductstore_spark.sources.zenoh as Z
+
+    def boom(self):
+        raise RuntimeError("bootstrap failed")
+
+    monkeypatch.setattr(Z.SubscriberPipeline, "bootstrap", boom)
+    store = RecordStore(spark, str(tmp_path / "s"))
+    config = ZenohApiConfig(
+        enabled=True, config_inline="mode=client", sub_keyexprs="**",
+        auth_dictionary="user:pass")
+    with pytest.raises(RuntimeError, match="bootstrap failed"):
+        spawn_runtime(config, store)
+    leftovers = [f for f in os.listdir(tempfile.gettempdir())
+                 if f.startswith("zenoh_auth_dict")]
+    assert leftovers == []
 
 
 def test_inject_no_credentials_leaves_config_unchanged():
@@ -399,10 +432,40 @@ def test_query_param_errors_reply_err(zenoh_env):
 
 def test_query_not_found_errors(zenoh_env):
     _, runtime = zenoh_env
+    # queryable.rs:89 resolves get_entry() before any branch — a
+    # non-existent entry replies the bucket.rs:123-134 not-found shape
+    # regardless of selector params (last=true, ts=, or a plain stream)
     (err,) = runtime.session.get("sensors/none?last=true")
-    assert "No records in entry sensors/none" in err.message
+    assert "Entry 'sensors/none' not found in bucket 'zenoh'" in err.message
+    (err,) = runtime.session.get("sensors/none")
+    assert "Entry 'sensors/none' not found in bucket 'zenoh'" in err.message
     (err,) = runtime.session.get("sensors/temp?ts=99")
     assert "Record 99 not found in entry zenoh/sensors/temp" in err.message
+
+
+def test_query_last_unfinished_record_errors(spark, tmp_path):
+    # entry.info() counts records of every state but begin_read rejects
+    # unfinished ones (read_record.rs:44-60): last=true with a STARTED
+    # latest record must surface the reference's too_early message, not
+    # an IndexError
+    from reductstore_spark.schema import (RECORDS_SCHEMA, STATE_FINISHED,
+                                          STATE_STARTED)
+    store = RecordStore(spark, str(tmp_path / "s"))
+    rows = [("zenoh", "e1", 1 * US, b"a", "text/plain", STATE_FINISHED,
+             {}, {}),
+            ("zenoh", "e1", 2 * US, b"b", "text/plain", STATE_STARTED,
+             {}, {})]
+    store.write(spark.createDataFrame(rows, RECORDS_SCHEMA))
+    config = ZenohApiConfig(enabled=True, config_inline="mode=client",
+                            query_keyexprs="**")
+    runtime = spawn_runtime(config, store)
+    try:
+        (err,) = runtime.session.get("e1?last=true")
+        assert isinstance(err, ReplyError)
+        assert (f"Record with timestamp {2 * US} in zenoh/e1 "
+                "is still being written") in err.message
+    finally:
+        runtime.shutdown()
 
 
 def test_malformed_attachment_downgrades_to_empty_labels(
@@ -463,7 +526,8 @@ def test_api_limit_replies_error(spark, tmp_path):
     runtime.queryable.check_api_request = limit_once
     try:
         first = runtime.session.get("e?last=true")
-        assert "No records in entry e" in first[0].message  # storage err
+        # storage err: the entry was never created in the empty store
+        assert "Entry 'e' not found in bucket 'zenoh'" in first[0].message
         (second,) = runtime.session.get("e?last=true")
         assert isinstance(second, ReplyError)
         assert second.message == "too many api requests"
