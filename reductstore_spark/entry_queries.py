@@ -1828,7 +1828,16 @@ def q_dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the MinHash pair
     graph; every doc gets a canonical id (smallest doc id reachable) —
     the group assignment that turns pairwise near-dups into keep-one
-    dedup decisions."""
+    dedup decisions.
+
+    Deliberately kept as the PAIRS-CONSUMER benchmark: its input is the
+    materialized pair multiset, so its cost tracks the (potentially
+    quadratic) pair count — SCALING.md §13 measured the sf3→sf10
+    segment superlinear for exactly that reason.  Production grouping
+    at duplicate-heavy scale should use ``dedup_minhash_components`` /
+    ``dedup_simhash_components`` (signature contraction before the
+    join, 2.1× faster at the sf10 worst case); this entry pins the
+    contract and the crossover the §13 table documents."""
     prep(spark)
     from .operators.dedup import connected_components, minhash_lsh_pairs
     docs = _t(spark, sf_dir, "documents")

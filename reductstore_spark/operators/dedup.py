@@ -560,6 +560,21 @@ def connected_components(
 
     Near-dup graphs have tiny components, so 2-4 rounds typically
     suffice; ``max_iter`` only bounds pathology.
+
+    **Input contract — this is the explicit pairs-consumer.**  The
+    operator's cost scales with the size of the *materialized pair
+    multiset* it is fed, which on a duplicate-heavy corpus is
+    quadratic in clique size: the SCALING.md §13 soak shows its
+    sf3→sf10 segment going superlinear (20.6 s→102.9 s over 3.3×
+    data) precisely because the ~250 M-pair input dominates.  When the
+    goal is dedup GROUPS rather than the pairs themselves, do not
+    route through this operator — use ``simhash_components`` /
+    ``minhash_components``, which contract identical signatures to one
+    representative BEFORE candidate generation (an exact-dup clique of
+    size k enters the graph as 1 node, not k²/2 pairs) and measured
+    2.1× faster with exponent 0.704 vs 0.928 at the sf10 worst case.
+    Feed this operator directly only when the pair list is already the
+    product (audit trails, pair-level scoring) or known to be sparse.
     """
     from ..caching import _LIVE_CKPT, release_local_checkpoint
 
