@@ -1921,6 +1921,67 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_dedup_spans_cdc(spark, sf_dir):
+    """Offset-robust global repeated-span removal: span boundaries are
+    content-defined (a span ends at every word whose md5-derived hash
+    % 8 == 0 — the winnowing/CDC breakpoint trick), so a passage
+    duplicated at ANY word offset chunks identically in every copy and
+    dedups; the fixed-window ``dedup_spans`` entry misses copies
+    shifted to a non-multiple-of-8 offset.  Same first-occurrence +
+    reassembly contract; the oracle compares the md5 of the actual
+    rebuilt strings."""
+    prep(spark)
+    from .operators.dedup import span_dedup_cdc
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8)
+    return out.select("doc_id", "n_spans", "n_kept",
+                      F.md5("new_text").alias("new_md5"))
+
+
+SQL_DEDUP_SPANS_CDC = """
+WITH docs AS (
+  SELECT doc_id, replace(coalesce(text, ''), chr(1), '') AS txt
+  FROM documents
+),
+marked AS (
+  SELECT doc_id,
+    regexp_replace(
+      array_to_string(
+        list_transform(string_split(txt, ' '),
+          w -> CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT % 8 = 0
+               THEN w || chr(1) ELSE w END), ' '),
+      chr(1) || '$', '') AS m
+  FROM docs WHERE length(txt) > 0
+),
+sp AS (SELECT doc_id, string_split(m, chr(1) || ' ') AS sps FROM marked),
+spans AS (
+  SELECT doc_id, t.i AS span_pos, list_extract(sps, t.i + 1) AS span
+  FROM sp, UNNEST(range(0, len(sps))) AS t(i)
+),
+firsts AS (
+  SELECT span, min(doc_id * 1048576 + span_pos) AS fkey
+  FROM spans GROUP BY span
+),
+kept AS (
+  SELECT s.doc_id, s.span_pos, s.span
+  FROM spans s JOIN firsts f ON s.span = f.span
+  WHERE s.doc_id * 1048576 + s.span_pos = f.fkey
+),
+stats AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY span_pos) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.new_text, '')) AS new_md5
+FROM documents d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test split by content-independent hash of
     the document id — reproducible across runs, engines, and cluster
@@ -4496,6 +4557,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "store_remove": (q_store_remove, SQL_STORE_REMOVE),
     "zenoh_roundtrip": (q_zenoh_roundtrip, SQL_ZENOH_ROUNDTRIP),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "dedup_spans_cdc": (q_dedup_spans_cdc, SQL_DEDUP_SPANS_CDC),
     "read_single": (q_read_single, SQL_READ_SINGLE),
     "bucketed_join": (q_bucketed_join, SQL_JOIN_SALTED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),

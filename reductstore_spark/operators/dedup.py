@@ -667,7 +667,66 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
             F.sequence(F.lit(0), n_sp - 1),
             lambda i: F.array_join(
                 F.slice(arr, i * span_words + 1, span_words), " ")))
+    return _span_dedup_assemble(df, id_col, spans_col)
 
+
+# sentinel marking content-defined span ends; stripped from input text
+# first so adversarial text cannot forge a boundary
+_CDC_SENT = "\x01"
+
+
+def span_dedup_cdc(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   avg_words: int = 8) -> DataFrame:
+    """Offset-robust :func:`span_dedup`: span boundaries are
+    CONTENT-DEFINED — a span ends at every word whose md5-derived hash
+    satisfies ``h(word) % avg_words == 0`` (the winnowing / CDC
+    breakpoint trick), so a passage duplicated at *any* word offset
+    chunks into identical spans in every copy and dedups like an
+    aligned one.  Fixed windows (``span_dedup``) miss a passage whose
+    copy starts at a word offset not ≡ 0 (mod ``span_words``) relative
+    to its document start — the gap a curation user hits first, and the
+    reason the Lee et al. (2022) design this family cites is
+    offset-independent.  Expected span length is ``avg_words`` words
+    (geometric); spans are unbounded above in adversarial
+    no-breakpoint runs, but such a run costs one aggregate row, not a
+    blowup.  Same output contract and 100 TB plan shape as
+    ``span_dedup``: one span-keyed hash aggregation, one keyed join,
+    one per-doc re-aggregation.
+
+    The span construction stays whole-stage codegen: breakpoint words
+    get a one-byte sentinel appended (``transform`` over the split
+    array), the array is re-joined and re-split on ``sentinel + " "``
+    — an O(words) pure-Column pass, no per-element prefix-sum and no
+    explode-regroup shuffle just to window the words.  The sentinel is
+    stripped from the input first so text cannot forge a boundary.
+    """
+    txt = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                           _CDC_SENT, "")
+    arr = F.split(txt, " ")
+
+    def is_break(w):
+        return (F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+                .cast("long") % avg_words) == 0
+
+    marked = F.array_join(
+        F.transform(arr, lambda w: F.when(
+            is_break(w), F.concat(w, F.lit(_CDC_SENT))).otherwise(w)),
+        " ")
+    # a breakpoint on the final word ends nothing — strip it so the
+    # last span never carries a dangling sentinel
+    marked = F.regexp_replace(marked, _CDC_SENT + "$", "")
+    spans_col = F.when(F.length(txt) == 0,
+                       F.array().cast("array<string>")) \
+        .otherwise(F.split(marked, _CDC_SENT + " "))
+    return _span_dedup_assemble(df, id_col, spans_col)
+
+
+def _span_dedup_assemble(df: DataFrame, id_col: str,
+                         spans_col) -> DataFrame:
+    """Shared tail of the span-dedup family: global first-occurrence
+    over the given per-doc span array, then per-doc reassembly.  See
+    :func:`span_dedup` for the plan-shape discussion."""
     sp = (df.select(F.col(id_col).alias("__id"), spans_col.alias("__sp"))
             .select("__id", F.posexplode_outer("__sp")
                     .alias("__pos", "__span")))

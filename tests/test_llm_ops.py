@@ -522,3 +522,207 @@ def test_span_dedup_kept_equals_distinct_spans(spark, sf_dir):
     distinct = (docs.select(F.explode(spans).alias("s"))
                 .select("s").distinct().count())
     assert total_kept == distinct
+
+
+# -- span-dedup family: CDC variant + metamorphic properties -----------------
+
+def _model_brk(w, k):
+    import hashlib
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % k == 0
+
+
+def _model_spans_fixed(text, k):
+    import math
+    text = text or ""
+    if not text:
+        return []
+    words = text.split(" ")
+    return [" ".join(words[i * k:(i + 1) * k])
+            for i in range(math.ceil(len(words) / k))]
+
+
+def _model_spans_cdc(text, k):
+    text = (text or "").replace("\x01", "")
+    if not text:
+        return []
+    out, cur = [], []
+    for w in text.split(" "):
+        cur.append(w)
+        if _model_brk(w, k):
+            out.append(" ".join(cur))
+            cur = []
+    if cur:
+        out.append(" ".join(cur))
+    return out
+
+
+def _model_span_dedup(docs, spanfn, k):
+    """Pure-Python oracle of the span-dedup family: global
+    first-occurrence by packed (doc_id, pos), per-doc reassembly."""
+    spans = {i: spanfn(t, k) for i, t in docs}
+    firsts = {}
+    for i, _t in docs:
+        for p, s in enumerate(spans[i]):
+            key = i * (1 << 20) + p
+            if s not in firsts or key < firsts[s]:
+                firsts[s] = key
+    res = {}
+    for i, _t in docs:
+        kept = [s for p, s in enumerate(spans[i])
+                if firsts[s] == i * (1 << 20) + p]
+        res[i] = (len(spans[i]), len(kept), " ".join(kept))
+    return res
+
+
+def _run_span_dedup(spark, docs, mode, k):
+    from reductstore_spark.operators.dedup import span_dedup, span_dedup_cdc
+    df = spark.createDataFrame(list(docs), "doc_id long, text string")
+    fn = span_dedup if mode == "fixed" else span_dedup_cdc
+    out = fn(df, "doc_id", "text", k)
+    return {r["doc_id"]: (r["n_spans"], r["n_kept"], r["new_text"])
+            for r in out.collect()}
+
+
+def test_span_dedup_cdc_shifted_passage_dedups(spark):
+    """THE gap CDC exists for: a passage duplicated at a word offset
+    not ≡ 0 (mod span_words) survives fixed windows (different span
+    strings in each copy) but is cut under content-defined boundaries
+    (identical chunking regardless of document offset)."""
+    from reductstore_spark.operators.dedup import span_dedup, span_dedup_cdc
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lam mu nu xi omicron pi rho sigma tau upsilon "
+               "phi chi psi omega one two three four five six")
+    rows = [(1, "p1 p2 p3 p4 p5 " + passage),
+            (2, "q1 q2 q3 q4 q5 q6 q7 q8 " + passage)]  # shift ≢ 0 mod 8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fixed = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    # fixed windows: every doc-2 span differs from every doc-1 span
+    assert fixed[2]["n_kept"] == fixed[2]["n_spans"]
+
+    cdc = {r["doc_id"]: r for r in span_dedup_cdc(df).collect()}
+    # CDC: doc 1 keeps everything; doc 2 keeps only the chunks its
+    # preamble participates in — the shared tail chunks are cut
+    assert cdc[1]["n_kept"] == cdc[1]["n_spans"]
+    assert cdc[2]["n_kept"] < cdc[2]["n_spans"]
+    assert passage.split(" ")[-1] not in cdc[2]["new_text"]
+    # and both agree with the pure-python model term for term
+    m = _model_span_dedup(rows, _model_spans_cdc, 8)
+    for i in (1, 2):
+        assert (cdc[i]["n_spans"], cdc[i]["n_kept"], cdc[i]["new_text"]) \
+            == m[i]
+
+
+def test_span_dedup_cdc_kept_equals_distinct_spans(spark, sf_dir):
+    """Corpus-wide: every distinct CDC span survives exactly once (the
+    sum(n_kept) == count(distinct span) invariant on real documents)."""
+    from reductstore_spark.operators.dedup import _CDC_SENT, span_dedup_cdc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+
+    txt = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                           _CDC_SENT, "")
+    brk = lambda w: (F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+                     .cast("long") % 8) == 0
+    marked = F.regexp_replace(
+        F.array_join(F.transform(
+            F.split(txt, " "),
+            lambda w: F.when(brk(w), F.concat(w, F.lit(_CDC_SENT)))
+            .otherwise(w)), " "),
+        _CDC_SENT + "$", "")
+    spans = F.when(F.length(txt) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(marked, _CDC_SENT + " "))
+    distinct = (docs.select(F.explode(spans).alias("s"))
+                .select("s").distinct().count())
+    assert total_kept == distinct
+
+
+def test_span_dedup_duplicate_injection_monotone(spark):
+    """Injecting a higher-id duplicate document never changes any
+    existing document's kept spans (first occurrence is keyed on the
+    packed (doc_id, pos), so later ids never steal firsts)."""
+    base = [(1, "a b c d e f g h i"), (2, "c d e f x y")]
+    extra = base + [(9, "a b c d e f g h i"), (10, "x y a b")]
+    for mode in ("fixed", "cdc"):
+        out0 = _run_span_dedup(spark, base, mode, 4)
+        out1 = _run_span_dedup(spark, extra, mode, 4)
+        for i in (1, 2):
+            assert out0[i] == out1[i], (mode, i)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    # small vocabulary on purpose: span collisions must actually occur.
+    # breakpoint status at k=4 (md5-derived): beta/delta/iota break,
+    # alpha/gamma/eta/x7/y do not
+    _vocab = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eta", "iota", "x7", "y"])
+    _doc = st.lists(_vocab, min_size=0, max_size=12).map(" ".join)
+    _corpus = st.lists(_doc, min_size=1, max_size=5).map(
+        lambda ts: [(i + 1, t) for i, t in enumerate(ts)])
+
+    @settings(max_examples=8, deadline=None)
+    @given(_corpus, st.sampled_from(["fixed", "cdc"]))
+    def test_span_dedup_matches_python_model(spark, corpus, mode):
+        """Spark == the pure-Python oracle on random corpora, both
+        modes.  The model is order-independent, so this also pins
+        doc-order permutation invariance of the Spark plan."""
+        spanfn = _model_spans_fixed if mode == "fixed" else _model_spans_cdc
+        expect = _model_span_dedup(corpus, spanfn, 4)
+        got = _run_span_dedup(spark, corpus, mode, 4)
+        assert got == expect
+
+    @settings(max_examples=300, deadline=None)
+    @given(_corpus, st.data())
+    def test_span_dedup_model_metamorphic(corpus, data):
+        """Model-level metamorphic properties (the model itself is
+        pinned to Spark above): doc-order permutation invariance,
+        higher-id duplicate-injection monotonicity, and
+        sum(n_kept) == count(distinct span)."""
+        for spanfn in (_model_spans_fixed, _model_spans_cdc):
+            base = _model_span_dedup(corpus, spanfn, 4)
+            # permutation invariance
+            perm = data.draw(st.permutations(corpus))
+            assert _model_span_dedup(perm, spanfn, 4) == base
+            # duplicate injection at a higher id never disturbs
+            # existing docs
+            dup = data.draw(st.sampled_from(corpus))[1]
+            grown = corpus + [(len(corpus) + 7, dup)]
+            after = _model_span_dedup(grown, spanfn, 4)
+            assert all(after[i] == base[i] for i, _ in corpus)
+            # every distinct span survives exactly once
+            n_kept = sum(v[1] for v in base.values())
+            distinct = len({s for _i, t in corpus for s in spanfn(t, 4)})
+            assert n_kept == distinct
+
+    @settings(max_examples=300, deadline=None)
+    @given(_doc, _doc)
+    def test_cdc_chunking_is_offset_independent(prefix, passage):
+        """The offset-robustness kernel: past the passage's first
+        breakpoint word, CDC chunking of (prefix + passage) is
+        IDENTICAL to the chunking of the passage alone — whatever the
+        prefix.  (Fixed windows have no such property.)"""
+        if not passage:
+            return
+        joined = (prefix + " " + passage) if prefix else passage
+        alone = _model_spans_cdc(passage, 4)
+        merged = _model_spans_cdc(joined, 4)
+        # drop everything through the first breakpoint in each
+        words = passage.split(" ")
+        brk_at = next((i for i, w in enumerate(words)
+                       if _model_brk(w, 4)), None)
+        if brk_at is None:
+            return  # no breakpoint: the whole passage rides the prefix
+        tail = " ".join(words[brk_at + 1:])
+        alone_tail = _model_spans_cdc(tail, 4)
+        assert merged[len(merged) - len(alone_tail):] == alone_tail
+        assert alone[len(alone) - len(alone_tail):] == alone_tail
