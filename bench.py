@@ -52,27 +52,38 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings = {}
+    spreads = {}
     total = 0.0
     for name, (fn, _sql) in QUERIES.items():
-        best = None
+        trials = []
         for _trial in range(2):  # min-of-2 damps scheduler/GC jitter
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full execution touching every output value, not counts
             df.agg(F.sum(F.xxhash64(*df.columns))).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            trials.append(time.perf_counter() - t0)
             release_caches()
+        best = min(trials)
         timings[name] = round(best, 4)
+        # per-query trial spread (max/min): the jitter the min damps —
+        # readable directly instead of re-attributed every round
+        spreads[name] = round(max(trials) / best, 3) if best > 0 else 1.0
         total += best
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sorted_spreads = sorted(spreads.values())
     result = {
         "metric": "sum of per-query wall seconds over the SURVEY §2 inventory",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # protocol markers: each timing is min-of-2 after a full warmup
+        # pass; spread is the per-query max/min trial ratio
+        "min2": True,
+        "spread": spreads,
+        "spread_med": sorted_spreads[len(sorted_spreads) // 2],
+        "spread_max": sorted_spreads[-1],
     }
     # full-precision artifact on disk: the authoritative per-query map,
     # immune to any stdout capture truncation
@@ -91,6 +102,9 @@ def main() -> None:
     budget = 1900
     compact = dict(result)
     compact["metric"] = "sum per-query wall sec (SURVEY §2)"
+    # the full per-query spread map lives in BENCH_LOCAL.json; the
+    # printed line keeps the min2 marker + median/max summary only
+    del compact["spread"]
     q2 = {k: round(v, 2) for k, v in timings.items()}
     line = json.dumps({**compact, "queries": q2}, separators=(",", ":"))
     if len(line) > budget:

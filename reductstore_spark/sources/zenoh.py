@@ -21,8 +21,54 @@ transport, scouting, routing).  Here the transport is
 :class:`InProcZenohSession`, an in-process bus with the same
 ``declare_subscriber`` / ``declare_queryable`` / ``put`` / ``get``
 surface; a networked deployment would swap it for the ``zenoh-python``
-library (absent from this container) behind the identical
-``Sample`` / ``Query`` / ``Reply`` shapes.
+library (``eclipse-zenoh`` on PyPI, absent from this container) behind
+the identical ``Sample`` / ``Query`` / ``Reply`` shapes.
+
+**Wire-seam conformance map** (checked by the import-gated
+``test_zenoh_python_wire_seam_conformance`` wherever ``zenoh`` is
+installed — same pattern as the transformWithStateInPandas protobuf
+gate):
+
+====================================  =======================================
+this module (in-proc seam)            ``zenoh-python`` (eclipse-zenoh 1.x)
+====================================  =======================================
+``InProcZenohSession()``              ``zenoh.open(zenoh.Config…)``
+``.declare_subscriber(ke, handler)``  ``Session.declare_subscriber(ke,
+                                      handler)``
+``.declare_queryable(ke, handler,     ``Session.declare_queryable(ke,
+allowed_origin=…)``                   handler)`` + ``allowed_origin`` on the
+                                      builder (Rust) / kwargs
+``.put(ke, payload, encoding=…,       ``Session.put(ke, payload,
+attachment=…, timestamp=…)``          encoding=…, attachment=…)``; the
+                                      sample timestamp comes from the
+                                      session's HLC (the reference stamps
+                                      replies explicitly, session.rs:700+)
+``.get(selector, attachment=…)``      ``Session.get(selector,
+→ ``List[Reply | ReplyError]``        attachment=…)`` → receiver of
+                                      ``zenoh.Reply`` (``.ok``/``.err``)
+``.undeclare(handle)`` / ``.close()`` ``Subscriber/Queryable.undeclare()``
+                                      / ``Session.close()``
+``Sample(key_expr, payload,           ``zenoh.Sample`` fields
+encoding, attachment, timestamp)``    ``.key_expr .payload .encoding
+                                      .attachment .timestamp``
+``Query(key_expr, params,             ``zenoh.Query`` ``.key_expr``
+attachment)``; handler RETURNS the    ``.parameters .attachment``; replies
+reply list                            are PUSHED via ``Query.reply(ke,
+                                      payload, encoding=…, attachment=…,
+                                      timestamp=…)`` / ``Query.reply_err``
+``Reply(key_expr, payload, encoding,  the ``Sample`` inside ``Reply.ok``
+attachment, timestamp)``              (same five fields)
+``ReplyError(payload)``               ``Reply.err`` → ``ReplyError.payload``
+``ZenohTimestamp`` (NTP64 ↔ µs)       ``zenoh.Timestamp`` (NTP64; a zenoh
+                                      ``TimestampId`` replaces the bare
+                                      ``source_id`` int here)
+====================================  =======================================
+
+The two deliberate shape differences, both at the swap layer and
+invisible to the engine: (1) queryable handlers here *return* the reply
+list while zenoh pushes replies through ``Query.reply`` — the swap
+wraps the returned list in that callback; (2) ``get`` here returns an
+eager list while zenoh hands back a receiver to drain.
 
 Spark stays the storage/query engine: every ingested sample lands in the
 partitioned :class:`~reductstore_spark.sources.store.RecordStore` (so the
@@ -648,6 +694,23 @@ class SubscriberPipeline:
         overwrite (the reference inserts source labels after the decode,
         subscriber.rs:62-64).  A malformed attachment downgrades to a
         warning and empty labels, never a rejection."""
+        row, content_size = self._decode_sample(
+            key_expr, payload, attachment, timestamp, content_type,
+            source_labels)
+        self._write_rows([row])
+        # replication notify (subscriber.rs:105-127): the tailing
+        # replication stream reads the store as a streaming source, so
+        # the new partition IS the notification.
+        return {"bucket": self.bucket, "entry": row[1], "ts": row[2],
+                "size": content_size}
+
+    def _decode_sample(self, key_expr: str, payload: bytes,
+                       attachment: Optional[bytes],
+                       timestamp: Optional[int], content_type: str,
+                       source_labels: Optional[Dict[str, str]]):
+        """Shared decode + per-sample guards for the single and batched
+        ingest paths; returns the RECORDS_SCHEMA row tuple + size."""
+        from ..schema import STATE_FINISHED
         entry_name = key_expr.strip("/")
 
         labels: Dict[str, str] = {}
@@ -673,20 +736,48 @@ class SubscriberPipeline:
             "Ingesting Zenoh sample bucket=%s entry=%s timestamp=%s "
             "bytes=%s content_type=%s", self.bucket, entry_name, ts,
             content_size, content_type)
+        return ((self.bucket, entry_name, int(ts), bytes(payload),
+                 content_type, STATE_FINISHED, labels, {}), content_size)
 
-        from ..schema import RECORDS_SCHEMA, STATE_FINISHED
-        row = (self.bucket, entry_name, int(ts), bytes(payload),
-               content_type, STATE_FINISHED, labels, {})
-        df = self.store.spark.createDataFrame([row], RECORDS_SCHEMA)
+    def _write_rows(self, rows: list) -> None:
+        from ..schema import RECORDS_SCHEMA
+        df = self.store.spark.createDataFrame(rows, RECORDS_SCHEMA)
         try:
             self.store.write(df)
         except Exception as err:
             raise IngestError(str(err))
-        # replication notify (subscriber.rs:105-127): the tailing
-        # replication stream reads the store as a streaming source, so
-        # the new partition IS the notification.
-        return {"bucket": self.bucket, "entry": entry_name, "ts": int(ts),
-                "size": content_size}
+
+    def handle_samples(self, samples: List[Sample]) -> dict:
+        """Batch-ingest helper — NOT a reference surface: the reference
+        handles one sample per zenoh callback (subscriber.rs:37-103) and
+        :meth:`handle_zenoh_sample` mirrors that per-sample write, which
+        is a production footgun at high publish rates (one parquet write
+        job per sample).  This variant decodes N wire samples with the
+        EXACT per-sample semantics (api-request + ingress guards run per
+        sample, malformed attachments downgrade per sample, zenoh
+        timestamps become the NTP64/source-id label pair) and lands them
+        in ONE ``store.write``.  All-or-nothing: a guard rejecting any
+        sample aborts the batch before anything is written.  Returns
+        ``{"bucket", "records", "bytes"}``."""
+        rows = []
+        total = 0
+        for sample in samples:
+            timestamp_us = None
+            source_labels: Dict[str, str] = {}
+            if sample.timestamp is not None:
+                timestamp_us = sample.timestamp.to_micros()
+                source_labels[ZENOH_SOURCE_ID_LABEL] = \
+                    sample.timestamp.source_id
+                source_labels[ZENOH_TS_LABEL] = str(sample.timestamp.ntp64)
+            row, size = self._decode_sample(
+                sample.key_expr, sample.payload, sample.attachment,
+                timestamp_us, sample.encoding, source_labels)
+            rows.append(row)
+            total += size
+        if rows:
+            self._write_rows(rows)
+        return {"bucket": self.bucket, "records": len(rows),
+                "bytes": total}
 
     def handle_zenoh_sample(self, sample: Sample) -> dict:
         """session.rs:413-461 — unpack a wire sample: encoding becomes
