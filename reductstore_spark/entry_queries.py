@@ -4764,3 +4764,37 @@ assert set(_R7_WINDOW) <= QUERIES.keys()
 QUERIES = {k: QUERIES[k]
            for k in [*_R7_WINDOW,
                      *(n for n in QUERIES if n not in set(_R7_WINDOW))]}
+
+# Round-8 driver window (r7 verdict task 1): the entries whose CODE or
+# oracle changed this round lead — dedup_spans_cdc (NEW: content-defined
+# span boundaries), dedup_spans (now routes through the shared
+# _span_dedup_assemble core), zenoh_roundtrip (queryable error paths
+# hardened; oracle byte-length fixed to octet_length(encode(...))), and
+# dedup_components (contract docstring).  Then the full 31-entry
+# r5-stale list from the r7 verdict; the remaining slots are the oldest
+# r6 rows in r6 window order.  Union r1-r8 target: 124/124 with max
+# staleness r6.
+_R8_CHANGED = [
+    "dedup_spans_cdc", "dedup_spans", "zenoh_roundtrip",
+    "dedup_components",
+]
+_R8_STALE = [
+    "scan_time_range", "limit", "ctx_padding", "multi_entry",
+    "select_labels", "count", "remove_count", "update_labels",
+    "join_topn", "window_rank", "agg_promo_share", "dedup_exact",
+    "winnow_fingerprint", "lang_id", "ctx_each_n", "ctx_after_each_n",
+    "ctx_padding_duration", "strict_mode", "ext_pipeline", "agg_rollup",
+    "nation_share", "nation_trade", "disjunctive_filter", "user_set_ops",
+    "sample_split", "doc_rarity", "stratified_sample", "tfidf_topk",
+    "embedding_quantize", "decontaminate", "stream_ctx",
+]
+assert len(_R8_STALE) == 31 and len(set(_R8_STALE)) == 31
+_R8_FILL = [n for n in _R6_WINDOW
+            if n not in set(_R7_WINDOW)
+            and n not in set(_R8_CHANGED) and n not in set(_R8_STALE)]
+_R8_WINDOW = (_R8_CHANGED + _R8_STALE + _R8_FILL)[:50]
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+assert set(_R8_WINDOW) <= QUERIES.keys()
+QUERIES = {k: QUERIES[k]
+           for k in [*_R8_WINDOW,
+                     *(n for n in QUERIES if n not in set(_R8_WINDOW))]}
