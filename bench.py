@@ -51,23 +51,31 @@ def main() -> None:
         release_caches()
     spark.catalog.clearCache()
 
-    timings = {}
-    spreads = {}
-    total = 0.0
-    for name, (fn, _sql) in QUERIES.items():
-        trials = []
-        for _trial in range(2):  # min-of-2 damps scheduler/GC jitter
+    # min-of-2 damps scheduler/GC jitter.  The two trials run as two
+    # full INTERLEAVED passes (pass all queries, then pass them again)
+    # rather than back-to-back: a transient slow window (GC storm,
+    # co-tenant contention) inflates BOTH back-to-back trials of the
+    # same query — min can't recover — but hits different queries in
+    # temporally distant passes, so the per-query min sheds it.
+    trials: dict = {name: [] for name in QUERIES}
+    for _pass in range(2):
+        for name, (fn, _sql) in QUERIES.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full execution touching every output value, not counts
             df.agg(F.sum(F.xxhash64(*df.columns))).collect()
-            trials.append(time.perf_counter() - t0)
+            trials[name].append(time.perf_counter() - t0)
             release_caches()
-        best = min(trials)
+
+    timings = {}
+    spreads = {}
+    total = 0.0
+    for name, ts_list in trials.items():
+        best = min(ts_list)
         timings[name] = round(best, 4)
         # per-query trial spread (max/min): the jitter the min damps —
         # readable directly instead of re-attributed every round
-        spreads[name] = round(max(trials) / best, 3) if best > 0 else 1.0
+        spreads[name] = round(max(ts_list) / best, 3) if best > 0 else 1.0
         total += best
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

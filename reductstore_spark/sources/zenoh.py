@@ -957,7 +957,12 @@ class QueryablePipeline:
         ``batch_max_records`` or the batch timeout.  Replies carry the
         QUERY's key expression verbatim (session.rs:606,681 clone
         ``query.key_expr()``), not the record's entry name — the two
-        differ when the selector had surrounding slashes."""
+        differ when the selector had surrounding slashes.  The
+        ``toLocalIterator`` drain is per-record by design — it mirrors
+        the reference's per-reply send loop and is capped at
+        ``batch_max_records``, so it lives on the serving layer, never
+        on a scan path (the ingest-side analogue of this note is
+        :meth:`SubscriberPipeline.handle_samples`)."""
         if isinstance(result, RecordResult):
             return [self._row_to_reply(result.row, key_expr)]
         replies: List[Reply] = []
