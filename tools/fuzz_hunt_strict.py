@@ -122,10 +122,14 @@ def main():
                                   f"want=({wv},None)")
                             total_finds += 1
                             break
-        if (seed - FIRST + 1) % 25 == 0:
-            print(f"... {seed - FIRST + 1}/{N} seeds, {total_conds} conds, "
-                  f"{total_finds} finds", flush=True)
-    print(f"DONE: {N} seeds, {total_conds} conditions, {total_finds} finds")
+        # flush every seed: this workload is codegen-compilation-bound
+        # (minutes per seed), and a 25-seed cadence leaves a nohup
+        # session blind for hours — the partial totals ARE the evidence
+        # when a block outruns a round
+        print(f"... {seed - FIRST + 1}/{N} seeds, {total_conds} conds, "
+              f"{total_finds} finds", flush=True)
+    print(f"DONE: {N} seeds, {total_conds} conditions, {total_finds} finds",
+          flush=True)
 
 
 if __name__ == "__main__":
