@@ -1927,19 +1927,24 @@ def q_dedup_spans_cdc(spark, sf_dir):
     % 8 == 0 — the winnowing/CDC breakpoint trick), so a passage
     duplicated at ANY word offset chunks identically in every copy and
     dedups; the fixed-window ``dedup_spans`` entry misses copies
-    shifted to a non-multiple-of-8 offset.  Same first-occurrence +
-    reassembly contract; the oracle compares the md5 of the actual
-    rebuilt strings."""
+    shifted to a non-multiple-of-8 offset.  A FastCDC-style
+    ``min_words=4`` floor merges sub-minimum spans forward so short
+    common-word spans ("was", "it was") colliding across UNRELATED
+    documents are never cut corpus-wide (Lee et al. 2022 guard the
+    same failure with a minimum match length).  Same first-occurrence
+    + reassembly contract; the oracle folds the identical greedy merge
+    with a recursive CTE and compares the md5 of the actual rebuilt
+    strings."""
     prep(spark)
     from .operators.dedup import span_dedup_cdc
     docs = _t(spark, sf_dir, "documents")
-    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8)
+    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8, min_words=4)
     return out.select("doc_id", "n_spans", "n_kept",
                       F.md5("new_text").alias("new_md5"))
 
 
 SQL_DEDUP_SPANS_CDC = """
-WITH docs AS (
+WITH RECURSIVE docs AS (
   SELECT doc_id, replace(coalesce(text, ''), chr(1), '') AS txt
   FROM documents
 ),
@@ -1954,9 +1959,29 @@ marked AS (
   FROM docs WHERE length(txt) > 0
 ),
 sp AS (SELECT doc_id, string_split(m, chr(1) || ' ') AS sps FROM marked),
-spans AS (
-  SELECT doc_id, t.i AS span_pos, list_extract(sps, t.i + 1) AS span
+raw AS (
+  SELECT doc_id, t.i AS pos, list_extract(sps, t.i + 1) AS span,
+         len(sps) AS n
   FROM sp, UNNEST(range(0, len(sps))) AS t(i)
+),
+-- greedy min_words=4 floor: walk raw spans left-to-right per doc; a
+-- comb of >= 4 words is emitted and the carry resets, else it merges
+-- into the next raw span (mirrors the Spark F.aggregate fold exactly)
+walk AS (
+  SELECT doc_id, pos, n, span AS comb FROM raw WHERE pos = 0
+  UNION ALL
+  SELECT r.doc_id, r.pos, r.n,
+         CASE WHEN len(string_split(w.comb, ' ')) >= 4 THEN r.span
+              ELSE w.comb || ' ' || r.span END
+  FROM walk w JOIN raw r ON r.doc_id = w.doc_id AND r.pos = w.pos + 1
+),
+spans AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+           AS span_pos,
+         comb AS span
+  FROM walk
+  WHERE len(string_split(comb, ' ')) >= 4 OR pos = n - 1
 ),
 firsts AS (
   SELECT span, min(doc_id * 1048576 + span_pos) AS fkey

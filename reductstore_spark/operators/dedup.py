@@ -654,7 +654,9 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
     aggregate row.  The first-occurrence key packs ``(doc_id, pos)``
     into a single long (``doc_id * 2^20 + pos``) so the min-aggregation
     is a primitive ``min(long)``; documents are capped at 2^20 spans
-    (≈8M words) — raise the shift for longer documents.
+    (≈8M words) and ids at 2^43 — a runtime ``assert_true`` fails
+    loudly (no silent mis-ordering) past the cap; raise the shift for
+    longer documents.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     arr = F.split(txt, " ")
@@ -677,7 +679,8 @@ _CDC_SENT = "\x01"
 
 def span_dedup_cdc(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   avg_words: int = 8) -> DataFrame:
+                   avg_words: int = 8,
+                   min_words: int = 4) -> DataFrame:
     """Offset-robust :func:`span_dedup`: span boundaries are
     CONTENT-DEFINED — a span ends at every word whose md5-derived hash
     satisfies ``h(word) % avg_words == 0`` (the winnowing / CDC
@@ -700,6 +703,25 @@ def span_dedup_cdc(df: DataFrame, id_col: str = "doc_id",
     — an O(words) pure-Column pass, no per-element prefix-sum and no
     explode-regroup shuffle just to window the words.  The sentinel is
     stripped from the input first so text cannot forge a boundary.
+
+    ``min_words`` is the FastCDC-style minimum-span floor: a breakpoint
+    only takes effect when the span it would close has at least
+    ``min_words`` words; shorter spans merge forward into their
+    successor (the document-final remainder may still be short — it has
+    no successor).  Without the floor, adjacent breakpoint words
+    produce 1-2-word spans, and short common-word spans ("was",
+    "it was" — ~10% of frequent English words are breakpoints under
+    the md5 % 8 rule) collide across UNRELATED documents by chance;
+    global first-occurrence removal would then cut them corpus-wide —
+    systematic over-deletion of natural text.  Lee et al. (2022) guard
+    the same failure mode with a 50-token minimum match; FastCDC with a
+    min-chunk floor.  The merge is one ``F.aggregate`` fold over the
+    split span array — still pure-Column, O(words) per document.  Set
+    ``min_words=1`` for raw content-defined boundaries.  Offset
+    robustness is preserved: two copies of a passage re-align at the
+    first post-breakpoint raw span of >= ``min_words`` words (with the
+    default ``avg_words=8`` that is ~2/3 of raw spans), pinned by the
+    metamorphic properties in ``tests/test_llm_ops.py``.
     """
     txt = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
                            _CDC_SENT, "")
@@ -719,7 +741,40 @@ def span_dedup_cdc(df: DataFrame, id_col: str = "doc_id",
     spans_col = F.when(F.length(txt) == 0,
                        F.array().cast("array<string>")) \
         .otherwise(F.split(marked, _CDC_SENT + " "))
+    if min_words > 1:
+        spans_col = _min_span_merge(spans_col, min_words)
     return _span_dedup_assemble(df, id_col, spans_col)
+
+
+def _min_span_merge(spans: Column, min_words: int) -> Column:
+    """Merge sub-``min_words`` spans forward into their successor: a
+    left-to-right fold (``F.aggregate``) carrying the under-min
+    accumulator; any span reaching ``min_words`` words is emitted and
+    the carry resets.  The trailing carry (document-final remainder)
+    is emitted as-is — it has no successor.  Pure Column, O(total
+    words): the carry never holds more than ``min_words - 1`` words, so
+    the per-step word count is bounded.  Null (not ``''``) marks "no
+    carry" so an empty-string span can never be confused with the
+    reset state."""
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"))
+
+    def step(acc, s):
+        comb = F.when(acc["carry"].isNull(), s) \
+                .otherwise(F.concat(acc["carry"], F.lit(" "), s))
+        full = F.size(F.split(comb, " ")) >= min_words
+        return F.struct(
+            F.when(full, F.array_append(acc["out"], comb))
+             .otherwise(acc["out"]).alias("out"),
+            F.when(full, F.lit(None).cast("string"))
+             .otherwise(comb).alias("carry"))
+
+    def fin(acc):
+        return F.when(acc["carry"].isNull(), acc["out"]) \
+                .otherwise(F.array_append(acc["out"], acc["carry"]))
+
+    return F.aggregate(spans, zero, step, fin)
 
 
 def _span_dedup_assemble(df: DataFrame, id_col: str,
@@ -731,9 +786,20 @@ def _span_dedup_assemble(df: DataFrame, id_col: str,
             .select("__id", F.posexplode_outer("__sp")
                     .alias("__pos", "__span")))
     # packed (doc_id, pos) so first-occurrence is min(long), not
-    # min(struct) — identical ordering, cheaper aggregate
+    # min(struct) — identical ordering, cheaper aggregate.  The packing
+    # is only an order embedding for 0 <= pos < 2^20 and
+    # 0 <= doc_id < 2^43; span counts are data-dependent (CDC spans
+    # especially), so out-of-range rows FAIL LOUDLY here instead of
+    # silently mis-ordering first-occurrence.
     key = (F.col("__id") * F.lit(1 << 20) + F.coalesce("__pos", F.lit(0)))
-    sp = sp.withColumn("__key", key)
+    in_range = ((F.coalesce("__pos", F.lit(0)) < F.lit(1 << 20))
+                & (F.col("__id") >= 0) & (F.col("__id") < F.lit(1 << 43)))
+    guard = F.assert_true(in_range, F.concat(
+        F.lit("span_dedup: packed (doc_id, pos) key out of range "
+              "(need 0 <= doc_id < 2^43 and pos < 2^20; got doc_id="),
+        F.col("__id"), F.lit(" pos="), F.coalesce("__pos", F.lit(0)),
+        F.lit("); raise the pack shift for longer documents")))
+    sp = sp.withColumn("__key", F.coalesce(guard.cast("long"), key))
 
     firsts = sp.groupBy("__span").agg(F.min("__key").alias("__first"))
     # annotate kept-ness on the full span stream, then fold the span

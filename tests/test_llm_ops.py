@@ -541,14 +541,18 @@ def _model_spans_fixed(text, k):
             for i in range(math.ceil(len(words) / k))]
 
 
-def _model_spans_cdc(text, k):
+def _model_spans_cdc(text, k, min_words=1):
+    """Word-level CDC chunking with the FastCDC-style minimum floor: a
+    breakpoint only closes a span of >= min_words words (equivalent to
+    the operator's span-level merge-forward fold — a suppressed
+    breakpoint IS a sub-min span merging into its successor)."""
     text = (text or "").replace("\x01", "")
     if not text:
         return []
     out, cur = [], []
     for w in text.split(" "):
         cur.append(w)
-        if _model_brk(w, k):
+        if _model_brk(w, k) and len(cur) >= min_words:
             out.append(" ".join(cur))
             cur = []
     if cur:
@@ -574,11 +578,13 @@ def _model_span_dedup(docs, spanfn, k):
     return res
 
 
-def _run_span_dedup(spark, docs, mode, k):
+def _run_span_dedup(spark, docs, mode, k, min_words=1):
     from reductstore_spark.operators.dedup import span_dedup, span_dedup_cdc
     df = spark.createDataFrame(list(docs), "doc_id long, text string")
-    fn = span_dedup if mode == "fixed" else span_dedup_cdc
-    out = fn(df, "doc_id", "text", k)
+    if mode == "fixed":
+        out = span_dedup(df, "doc_id", "text", k)
+    else:
+        out = span_dedup_cdc(df, "doc_id", "text", k, min_words=min_words)
     return {r["doc_id"]: (r["n_spans"], r["n_kept"], r["new_text"])
             for r in out.collect()}
 
@@ -601,6 +607,9 @@ def test_span_dedup_cdc_shifted_passage_dedups(spark):
     # fixed windows: every doc-2 span differs from every doc-1 span
     assert fixed[2]["n_kept"] == fixed[2]["n_spans"]
 
+    # default min_words=4 floor active: the copies re-align at the
+    # first >= 4-word raw span past the first breakpoint, so the
+    # shared tail chunks are STILL cut
     cdc = {r["doc_id"]: r for r in span_dedup_cdc(df).collect()}
     # CDC: doc 1 keeps everything; doc 2 keeps only the chunks its
     # preamble participates in — the shared tail chunks are cut
@@ -608,10 +617,19 @@ def test_span_dedup_cdc_shifted_passage_dedups(spark):
     assert cdc[2]["n_kept"] < cdc[2]["n_spans"]
     assert passage.split(" ")[-1] not in cdc[2]["new_text"]
     # and both agree with the pure-python model term for term
-    m = _model_span_dedup(rows, _model_spans_cdc, 8)
+    m = _model_span_dedup(
+        rows, lambda t, k: _model_spans_cdc(t, k, min_words=4), 8)
     for i in (1, 2):
         assert (cdc[i]["n_spans"], cdc[i]["n_kept"], cdc[i]["new_text"]) \
             == m[i]
+    # and without the floor (min_words=1) the raw-boundary behavior
+    # is unchanged from round 8
+    cdc1 = {r["doc_id"]: r
+            for r in span_dedup_cdc(df, min_words=1).collect()}
+    m1 = _model_span_dedup(rows, _model_spans_cdc, 8)
+    for i in (1, 2):
+        assert (cdc1[i]["n_spans"], cdc1[i]["n_kept"],
+                cdc1[i]["new_text"]) == m1[i]
 
 
 def test_span_dedup_cdc_kept_equals_distinct_spans(spark, sf_dir):
@@ -620,7 +638,11 @@ def test_span_dedup_cdc_kept_equals_distinct_spans(spark, sf_dir):
     from reductstore_spark.operators.dedup import _CDC_SENT, span_dedup_cdc
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8)
+    # min_words=1: this test reimplements the RAW content-defined
+    # boundaries independently below; the floored variant's invariant
+    # is pinned by the DuckDB recursive-CTE oracle (parity gate) and
+    # the model-level hypothesis properties
+    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8, min_words=1)
     total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
 
     txt = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
@@ -646,11 +668,61 @@ def test_span_dedup_duplicate_injection_monotone(spark):
     packed (doc_id, pos), so later ids never steal firsts)."""
     base = [(1, "a b c d e f g h i"), (2, "c d e f x y")]
     extra = base + [(9, "a b c d e f g h i"), (10, "x y a b")]
-    for mode in ("fixed", "cdc"):
-        out0 = _run_span_dedup(spark, base, mode, 4)
-        out1 = _run_span_dedup(spark, extra, mode, 4)
+    for mode, mw in (("fixed", 1), ("cdc", 1), ("cdc", 3)):
+        out0 = _run_span_dedup(spark, base, mode, 4, min_words=mw)
+        out1 = _run_span_dedup(spark, extra, mode, 4, min_words=mw)
         for i in (1, 2):
-            assert out0[i] == out1[i], (mode, i)
+            assert out0[i] == out1[i], (mode, mw, i)
+
+
+def test_span_dedup_cdc_min_floor_protects_stopword_spans(spark):
+    """THE hazard the min_words floor exists for: 'was' / 'it' / 'from'
+    are breakpoint words under md5 % 8, so without a floor two
+    UNRELATED documents both containing 'was' share a 1-word span and
+    global first-occurrence removal cuts it from the later one — text
+    deleted by chance collision, not duplication.  With the default
+    floor the sub-min spans merge forward, no span collides, and both
+    documents survive intact — while a TRUE duplicate is still fully
+    cut."""
+    from reductstore_spark.operators.dedup import span_dedup_cdc
+    rows = [(1, "he said it was a dark and stormy night she told them"),
+            (2, "nothing here overlaps but it was also from the start"),
+            (3, "he said it was a dark and stormy night she told them")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = {r["doc_id"]: r for r in span_dedup_cdc(df, min_words=1).collect()}
+    # without the floor, the unrelated doc 2 loses text to the chance
+    # 'was' span collision with doc 1
+    assert raw[2]["n_kept"] < raw[2]["n_spans"]
+    assert "was" not in raw[2]["new_text"].split(" ")
+
+    out = {r["doc_id"]: r for r in span_dedup_cdc(df).collect()}
+    # default floor: both unrelated documents keep every span and
+    # reassemble to their original text
+    for i in (1, 2):
+        assert out[i]["n_kept"] == out[i]["n_spans"], i
+        assert out[i]["new_text"] == rows[i - 1][1], i
+    # the true duplicate (doc 3 == doc 1) is still fully cut
+    assert out[3]["n_kept"] == 0
+    assert out[3]["new_text"] == ""
+
+
+def test_span_dedup_packed_key_guard(spark):
+    """The packed (doc_id, pos) first-occurrence key is only an order
+    embedding for doc_id < 2^43 — past it the operator must FAIL
+    LOUDLY, never silently mis-order (span counts are data-dependent
+    under CDC)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from reductstore_spark.operators.dedup import span_dedup
+
+    ok = spark.createDataFrame(
+        [((1 << 43) - 1, "a b c d")], "doc_id long, text string")
+    assert span_dedup(ok, "doc_id", "text", 2).count() == 1
+    bad = spark.createDataFrame(
+        [(1 << 43, "a b c d")], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="out of range"):
+        span_dedup(bad, "doc_id", "text", 2).collect()
 
 
 try:
@@ -671,14 +743,20 @@ if _HAVE_HYP:
         lambda ts: [(i + 1, t) for i, t in enumerate(ts)])
 
     @settings(max_examples=8, deadline=None)
-    @given(_corpus, st.sampled_from(["fixed", "cdc"]))
-    def test_span_dedup_matches_python_model(spark, corpus, mode):
+    @given(_corpus, st.sampled_from([("fixed", 1), ("cdc", 1),
+                                     ("cdc", 2), ("cdc", 3)]))
+    def test_span_dedup_matches_python_model(spark, corpus, mode_mw):
         """Spark == the pure-Python oracle on random corpora, both
-        modes.  The model is order-independent, so this also pins
-        doc-order permutation invariance of the Spark plan."""
-        spanfn = _model_spans_fixed if mode == "fixed" else _model_spans_cdc
+        modes, with and without the min_words floor.  The model is
+        order-independent, so this also pins doc-order permutation
+        invariance of the Spark plan."""
+        mode, mw = mode_mw
+        if mode == "fixed":
+            spanfn = _model_spans_fixed
+        else:
+            spanfn = lambda t, k: _model_spans_cdc(t, k, min_words=mw)
         expect = _model_span_dedup(corpus, spanfn, 4)
-        got = _run_span_dedup(spark, corpus, mode, 4)
+        got = _run_span_dedup(spark, corpus, mode, 4, min_words=mw)
         assert got == expect
 
     @settings(max_examples=300, deadline=None)
@@ -687,8 +765,11 @@ if _HAVE_HYP:
         """Model-level metamorphic properties (the model itself is
         pinned to Spark above): doc-order permutation invariance,
         higher-id duplicate-injection monotonicity, and
-        sum(n_kept) == count(distinct span)."""
-        for spanfn in (_model_spans_fixed, _model_spans_cdc):
+        sum(n_kept) == count(distinct span) — all hold for ANY span
+        function, so the floored CDC variants are in the loop."""
+        for spanfn in (_model_spans_fixed, _model_spans_cdc,
+                       lambda t, k: _model_spans_cdc(t, k, min_words=2),
+                       lambda t, k: _model_spans_cdc(t, k, min_words=3)):
             base = _model_span_dedup(corpus, spanfn, 4)
             # permutation invariance
             perm = data.draw(st.permutations(corpus))
@@ -726,3 +807,62 @@ if _HAVE_HYP:
         alone_tail = _model_spans_cdc(tail, 4)
         assert merged[len(merged) - len(alone_tail):] == alone_tail
         assert alone[len(alone) - len(alone_tail):] == alone_tail
+
+    def _model_floor_merge(spans, min_words):
+        """Span-level reference of the operator's F.aggregate fold:
+        merge sub-min spans forward; trailing carry stands alone."""
+        out, carry = [], None
+        for s in spans:
+            comb = s if carry is None else carry + " " + s
+            if len(comb.split(" ")) >= min_words:
+                out.append(comb)
+                carry = None
+            else:
+                carry = comb
+        if carry is not None:
+            out.append(carry)
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(_doc, st.sampled_from([2, 3, 4]))
+    def test_cdc_min_floor_no_short_spans(doc, mw):
+        """With the floor active, NO span is shorter than min_words —
+        except the document-final remainder, which has no successor to
+        merge into.  Also pins the word/span-level equivalence: the
+        word-level model == the span-level merge fold the operator
+        runs."""
+        merged = _model_spans_cdc(doc, 4, min_words=mw)
+        for s in merged[:-1]:
+            assert len(s.split(" ")) >= mw, (doc, mw, merged)
+        assert merged == _model_floor_merge(_model_spans_cdc(doc, 4), mw)
+
+    @settings(max_examples=300, deadline=None)
+    @given(_doc, _doc, _doc, st.sampled_from([2, 3]))
+    def test_cdc_min_floor_resyncs_across_offsets(p1, p2, passage, mw):
+        """Offset robustness WITH the floor: two copies of a passage
+        under different prefixes re-align at the first raw span of
+        >= min_words words past the passage's first breakpoint — that
+        span always closes regardless of carried prefix words, both
+        folds reset, and every merged span after it is identical in
+        both copies."""
+        if not passage:
+            return
+        j1 = (p1 + " " + passage) if p1 else passage
+        j2 = (p2 + " " + passage) if p2 else passage
+        m1 = _model_spans_cdc(j1, 4, min_words=mw)
+        m2 = _model_spans_cdc(j2, 4, min_words=mw)
+        # shared raw-span suffix: the passage past its first breakpoint
+        words = passage.split(" ")
+        brk_at = next((i for i, w in enumerate(words)
+                       if _model_brk(w, 4)), None)
+        if brk_at is None:
+            return  # no breakpoint: the whole passage rides the prefix
+        tail_raw = _model_spans_cdc(" ".join(words[brk_at + 1:]), 4)
+        sync = next((r for r, s in enumerate(tail_raw)
+                     if len(s.split(" ")) >= mw), None)
+        if sync is None:
+            return  # no full raw span: carries may never re-align
+        expect = _model_floor_merge(tail_raw[sync + 1:], mw)
+        if expect:
+            assert m1[len(m1) - len(expect):] == expect, (j1, m1, expect)
+            assert m2[len(m2) - len(expect):] == expect, (j2, m2, expect)
