@@ -4823,3 +4823,37 @@ assert set(_R8_WINDOW) <= QUERIES.keys()
 QUERIES = {k: QUERIES[k]
            for k in [*_R8_WINDOW,
                      *(n for n in QUERIES if n not in set(_R8_WINDOW))]}
+
+# Round-9 driver window (r8 verdict task 2): the entries whose CODE or
+# oracle changed this round lead — dedup_spans_cdc (min_words floor:
+# new default + recursive-CTE oracle), dedup_spans (shares the
+# _span_dedup_assemble core, which gained the packed-key range guard),
+# zenoh_roundtrip (handle_samples same-(entry, ts) batch dedup +
+# serving-path entry-existence probe).  Then the full 27-entry r6-stale
+# list from the r8 verdict; the remaining slots are the oldest r7 rows
+# (entries whose latest driver row is r7) in r7 window order.  Union
+# r1-r9 target: 124/124 with max staleness r7.
+_R9_CHANGED = [
+    "dedup_spans_cdc", "dedup_spans", "zenoh_roundtrip",
+]
+_R9_STALE = [
+    "bucketed_join", "cohort_retention", "corpus_stats",
+    "dedup_embedding", "dedup_ngram_jaccard", "doc_chunks",
+    "doc_fingerprint", "embedding_norms", "events_daily",
+    "funnel_conversion", "join_salted", "length_hist",
+    "minhash_accuracy", "multimodal_frames", "multimodal_meta",
+    "ngram_topk", "pipeline_end_to_end", "quality_filter",
+    "read_single", "repetition", "sessionize", "sim_cosine_topk",
+    "stream_rollup", "text_clean", "text_quality", "text_tokens",
+    "winnow_overlap",
+]
+assert len(_R9_STALE) == 27 and len(set(_R9_STALE)) == 27
+_R9_FILL = [n for n in _R7_WINDOW
+            if n not in set(_R8_WINDOW)
+            and n not in set(_R9_CHANGED) and n not in set(_R9_STALE)]
+_R9_WINDOW = (_R9_CHANGED + _R9_STALE + _R9_FILL)[:50]
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+assert set(_R9_WINDOW) <= QUERIES.keys()
+QUERIES = {k: QUERIES[k]
+           for k in [*_R9_WINDOW,
+                     *(n for n in QUERIES if n not in set(_R9_WINDOW))]}
