@@ -747,7 +747,8 @@ class SubscriberPipeline:
         except Exception as err:
             raise IngestError(str(err))
 
-    def handle_samples(self, samples: List[Sample]) -> dict:
+    def handle_samples(self, samples: List[Sample],
+                       on_error: str = "abort") -> dict:
         """Batch-ingest helper — NOT a reference surface: the reference
         handles one sample per zenoh callback (subscriber.rs:37-103) and
         :meth:`handle_zenoh_sample` mirrors that per-sample write, which
@@ -756,12 +757,30 @@ class SubscriberPipeline:
         EXACT per-sample semantics (api-request + ingress guards run per
         sample, malformed attachments downgrade per sample, zenoh
         timestamps become the NTP64/source-id label pair) and lands them
-        in ONE ``store.write``.  All-or-nothing: a guard rejecting any
-        sample aborts the batch before anything is written.  Returns
-        ``{"bucket", "records", "bytes"}``."""
-        rows = []
-        total = 0
-        for sample in samples:
+        in ONE ``store.write``.
+
+        Per-sample LAST-WINS is preserved inside the batch: two samples
+        landing on the same (entry, ts) — e.g. untimestamped samples to
+        one entry stamped with the same current-time microsecond — are
+        disambiguated BEFORE the write, keeping only the later sample,
+        exactly what N sequential :meth:`handle_zenoh_sample` calls
+        would store (each write gets a fresh ``__seq``, newest wins).
+        The returned ``records``/``bytes`` count what the store will
+        actually serve, never the raw batch size.
+
+        ``on_error`` picks the failure mode: ``"abort"`` (default) is
+        all-or-nothing — a guard rejecting any sample aborts the batch
+        before anything is written; ``"skip"`` is reject-and-continue —
+        guard-rejected samples land in the returned ``rejected`` list
+        (``{"index", "key_expr", "error"}`` each) and the rest still
+        ingest in one write.  Returns ``{"bucket", "records", "bytes",
+        "rejected"}``."""
+        if on_error not in ("abort", "skip"):
+            raise ValueError(
+                f"on_error must be 'abort' or 'skip', got {on_error!r}")
+        kept: Dict[tuple, tuple] = {}  # (bucket, entry, ts) -> (row, size)
+        rejected = []
+        for idx, sample in enumerate(samples):
             timestamp_us = None
             source_labels: Dict[str, str] = {}
             if sample.timestamp is not None:
@@ -769,15 +788,26 @@ class SubscriberPipeline:
                 source_labels[ZENOH_SOURCE_ID_LABEL] = \
                     sample.timestamp.source_id
                 source_labels[ZENOH_TS_LABEL] = str(sample.timestamp.ntp64)
-            row, size = self._decode_sample(
-                sample.key_expr, sample.payload, sample.attachment,
-                timestamp_us, sample.encoding, source_labels)
-            rows.append(row)
-            total += size
-        if rows:
-            self._write_rows(rows)
-        return {"bucket": self.bucket, "records": len(rows),
-                "bytes": total}
+            try:
+                row, size = self._decode_sample(
+                    sample.key_expr, sample.payload, sample.attachment,
+                    timestamp_us, sample.encoding, source_labels)
+            except IngestError as err:
+                if on_error == "abort":
+                    raise
+                rejected.append({"index": idx,
+                                 "key_expr": sample.key_expr,
+                                 "error": str(err)})
+                continue
+            # last-wins within the batch: a later same-key sample
+            # replaces the earlier one (dict insertion order keeps the
+            # first-seen position, value the newest sample)
+            kept[(row[0], row[1], row[2])] = (row, size)
+        if kept:
+            self._write_rows([row for row, _size in kept.values()])
+        return {"bucket": self.bucket, "records": len(kept),
+                "bytes": sum(size for _row, size in kept.values()),
+                "rejected": rejected}
 
     def handle_zenoh_sample(self, sample: Sample) -> dict:
         """session.rs:413-461 — unpack a wire sample: encoding becomes
@@ -889,9 +919,14 @@ class QueryablePipeline:
         # three branches: a selector naming a non-existent entry replies
         # the storage not-found error (bucket.rs:123-134 message shape),
         # never an empty stream or a misleading record-not-found.
-        known = {e for _b, e in
-                 self.store.entries(self.bucket, include_hidden=True)}
-        if entry_name not in known:
+        # Existence is a filtered limit-1 probe on the compacted-read
+        # path (bucket/entry are partition columns, so the scan prunes
+        # to the one entry and stops at the first row) — NOT a
+        # distinct+collect over every entry in the store, which would
+        # put a full enumeration on every serving-path query.
+        probe = self.store.read(assume_compacted=True)
+        if not (probe.where((probe["bucket"] == self.bucket)
+                            & (probe["entry"] == entry_name)).take(1)):
             raise QueryError(
                 f"Entry '{entry_name}' not found in bucket "
                 f"'{self.bucket}'")

@@ -689,7 +689,8 @@ def test_handle_samples_batches_into_one_write(spark, tmp_path):
         Sample("s/a", b"p333", "text/plain", b"not-json", None),
     ]
     out = pipe.handle_samples(samples)
-    assert out == {"bucket": "b1", "records": 3, "bytes": 9}
+    assert out == {"bucket": "b1", "records": 3, "bytes": 9,
+                   "rejected": []}
     assert writes["n"] == 1  # the point of the helper
 
     rows = {(r["entry"], r["ts"]): r for r in store.read().collect()}
@@ -704,7 +705,7 @@ def test_handle_samples_batches_into_one_write(spark, tmp_path):
     assert rows[("s/a", 9)]["labels"] == {}
     # empty batch: no write job at all
     assert pipe.handle_samples([]) == {"bucket": "b1", "records": 0,
-                                       "bytes": 0}
+                                       "bytes": 0, "rejected": []}
     assert writes["n"] == 1
 
 
@@ -722,3 +723,69 @@ def test_handle_samples_guard_rejects_whole_batch(spark, tmp_path):
         pipe.handle_samples([Sample("e", b"ok", "t", None, None),
                              Sample("e", b"toobig", "t", None, None)])
     assert store.read().count() == 0  # all-or-nothing
+
+
+def test_handle_samples_same_key_last_wins(spark, tmp_path):
+    """Two batch samples landing on the same (entry, ts) — the
+    untimestamped high-rate scenario where both get stamped with the
+    same current-time microsecond — must store exactly what N
+    sequential handle_zenoh_sample calls would (newest sample wins),
+    and the returned counts must reflect what the store serves, not
+    the raw batch size."""
+    from reductstore_spark.sources.zenoh import Sample
+    store = RecordStore(spark, str(tmp_path / "s"))
+    pipe = SubscriberPipeline(ZenohApiConfig(bucket="b1"), store,
+                              now_us=lambda: 5)
+    out = pipe.handle_samples([
+        Sample("e", b"first", "t", serialize_labels({"v": "1"}), None),
+        Sample("e", b"second!", "t", serialize_labels({"v": "2"}), None),
+        Sample("other", b"x", "t", None, None),
+    ])
+    assert out == {"bucket": "b1", "records": 2, "bytes": 8,
+                   "rejected": []}
+    rows = {(r["entry"], r["ts"]): r for r in store.read().collect()}
+    assert set(rows) == {("e", 5), ("other", 5)}
+    assert bytes(rows[("e", 5)]["payload"]) == b"second!"
+    assert rows[("e", 5)]["labels"] == {"v": "2"}
+
+    # cross-check: the per-sample path stores the identical end state
+    store2 = RecordStore(spark, str(tmp_path / "s2"))
+    pipe2 = SubscriberPipeline(ZenohApiConfig(bucket="b1"), store2,
+                               now_us=lambda: 5)
+    pipe2.handle_sample("e", b"first", serialize_labels({"v": "1"}))
+    pipe2.handle_sample("e", b"second!", serialize_labels({"v": "2"}))
+    pipe2.handle_sample("other", b"x")
+    rows2 = {(r["entry"], r["ts"]): bytes(r["payload"])
+             for r in store2.read().collect()}
+    assert rows2 == {(r["entry"], r["ts"]): bytes(r["payload"])
+                     for r in store.read().collect()}
+
+
+def test_handle_samples_skip_rejects_alone(spark, tmp_path):
+    """on_error='skip' (reject-and-continue): a guard-rejected sample
+    lands in the rejected list with its index and error while the rest
+    of the batch still ingests in one write."""
+    from reductstore_spark.sources.zenoh import Sample
+    store = RecordStore(spark, str(tmp_path / "s"))
+
+    def deny_big(n):
+        if n > 2:
+            raise RuntimeError(f"too many ingress bytes: {n}")
+
+    pipe = SubscriberPipeline(ZenohApiConfig(bucket="b1"), store,
+                              check_ingress=deny_big,
+                              now_us=iter(range(1, 100)).__next__)
+    out = pipe.handle_samples(
+        [Sample("e", b"ok", "t", None, None),
+         Sample("e", b"toobig", "t", None, None),
+         Sample("f", b"no", "t", None, None)],
+        on_error="skip")
+    assert out["records"] == 2 and out["bytes"] == 4
+    assert out["rejected"] == [{"index": 1, "key_expr": "e",
+                                "error": "Storage error: too many ingress bytes: 6"}]
+    got = {(r["entry"], bytes(r["payload"]))
+           for r in store.read().collect()}
+    assert got == {("e", b"ok"), ("f", b"no")}
+
+    with pytest.raises(ValueError, match="on_error"):
+        pipe.handle_samples([], on_error="nope")
