@@ -230,6 +230,74 @@ def test_info_zero_not_null_when_no_records(spark, store):
     assert b["latest_record"] == 3_000_000
 
 
+def test_bucket_info_ignores_meta_entries_for_history(spark, store):
+    """PR-1534 golden case 1 (bucket.rs:478-495
+    test_bucket_info_ignores_meta_entries_for_history): an entry's $meta
+    records — whose ids are key hashes, not timestamps — must never
+    drag the bucket's oldest/latest extremes; only the parent's real
+    records count."""
+    store.write_meta("b1", "entry-1", "k", {"x": "meta"})
+    store.write(spark.createDataFrame(
+        [("b1", "entry-1", 100, b"data", "", 1, {}, {}),
+         ("b1", "entry-1", 200, b"more", "", 1, {}, {})], SCHEMA))
+
+    b = store.bucket_info("b1")
+    assert b["oldest_record"] == 100
+    assert b["latest_record"] == 200
+    assert b["entry_count"] == 1          # $meta hidden from the listing
+    e = store.entry_info("b1", "entry-1")
+    assert e["name"] == "entry-1"
+    assert e["oldest_record"] == 100 and e["latest_record"] == 200
+
+
+def test_bucket_info_ignores_empty_parent_entries_for_oldest_record(
+        spark, store):
+    """PR-1534 golden case 2 (bucket.rs:497-539
+    test_bucket_info_ignores_empty_parent_entries_for_oldest_record): an
+    entry with no records of its own must not skew the bucket extremes
+    toward 0.  The closest record-less entry this partition-derived
+    store can hold is the parent of a $meta-only entry (the reference
+    additionally materializes record-less folder/parent Entry objects
+    and counts them in entry_count — entries here exist only through
+    their records, so entry_count counts record-bearing visible
+    entries)."""
+    store.write_meta("b1", "empty", "k", {"x": "meta"})
+    store.write(spark.createDataFrame(
+        [("b1", "filled", 1, b"data", "", 1, {}, {}),
+         ("b1", "filled", 2, b"more", "", 1, {}, {})], SCHEMA))
+
+    b = store.bucket_info("b1")
+    assert b["oldest_record"] == 1        # never 0 from the empty parent
+    assert b["latest_record"] == 2
+    f = store.entry_info("b1", "filled")
+    assert f["record_count"] == 2
+    assert f["oldest_record"] == 1 and f["latest_record"] == 2
+    # the record-less parent itself reports normalized zeros
+    e = store.entry_info("b1", "empty")
+    assert e["record_count"] == 0
+    assert e["oldest_record"] == 0 and e["latest_record"] == 0
+
+
+def test_bucket_info_normalizes_history_when_only_meta_entries_have_records(
+        spark, store):
+    """PR-1534 golden case 3 (bucket.rs:541-560
+    test_bucket_info_normalizes_history_when_only_meta_entries_have_records):
+    a bucket whose ONLY records live in $meta entries reports
+    oldest/latest 0/0 — the meta key-hash ids must not leak out as
+    record history — and the parent reports record_count 0."""
+    store.write_meta("b1", "entry", "k", {"x": "meta"})
+
+    b = store.bucket_info("b1")
+    assert b["oldest_record"] == 0
+    assert b["latest_record"] == 0
+    assert b["record_count"] == 0
+    e = store.entry_info("b1", "entry")
+    assert e["record_count"] == 0
+    assert e["oldest_record"] == 0 and e["latest_record"] == 0
+    # the $meta payload itself is still readable through the meta API
+    assert store.read_meta("b1", "entry") == {"k": {"x": "meta"}}
+
+
 def test_free_disk_space_guard(spark, tmp_path):
     """PR-1525 (bucket/quotas.rs:19-42 check_free_disk_space): reject the
     batch BEFORE writing when the data-folder filesystem lacks free space
