@@ -80,7 +80,7 @@ def oracle(rows, when):
     return sorted(out)
 
 
-@pytest.mark.parametrize("seed", [7, 19])  # rotated per round (r8)
+@pytest.mark.parametrize("seed", [11, 23])  # rotated per round (r9)
 def test_planner_tiers_match_oracle(spark, seed):
     rng = random.Random(seed)
     rows = build_rows(rng)

@@ -18,6 +18,7 @@ import json
 import os
 import random
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
@@ -56,10 +57,43 @@ def interp_strict(node, ts, labels):
         return None, str(e)
 
 
+def _compile_chunk(df, chunk):
+    """Build both column tiers for a chunk of (index, (cond, node)) and
+    collect them in one select.  Returns (rows, meta)."""
+    cols, meta = [], []
+    for i, (c, node) in chunk:
+        sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+        cols.append(_as_bool(sv).alias(f"s{i}v"))
+        cols.append(sv["e"].alias(f"s{i}e"))
+        try:
+            fc = FlatCompiler(F.col("ts"), F.col("labels"), strict=True)
+            fv = fc.compile(node)
+            cols.append(F.coalesce(_truthy(fv), F.lit(False))
+                        .alias(f"f{i}v"))
+            cols.append(_emsg(fv).alias(f"f{i}e"))
+            meta.append((i, c, node, True))
+        except Unsupported:
+            meta.append((i, c, node, False))
+    return df.select(*cols).collect(), meta
+
+
 def main():
     spark = get_session("fuzzstrict", master="local[16]",
                         shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
+    # Profiled on seed 8250: the per-seed cost is NOT Janino codegen —
+    # disabling whole-stage codegen changed nothing — it is eager
+    # Catalyst ANALYSIS of one 120-column select over the deep
+    # error-threading expression trees (~390 s of the ~500 s seed,
+    # single driver thread).  Analysis parallelizes across independent
+    # Datasets, so the 30 conditions split into chunks analyzed +
+    # collected concurrently from driver threads: measured 3.5x
+    # (495 s -> 142 s per seed), which is what lets an 80-seed block
+    # fit inside a round.  Semantics are unchanged — same tiers, same
+    # per-row compare, and a chunk-level job error still counts as a
+    # find for that chunk.
+    chunk_sz = int(os.environ.get("SPARK_FUZZ_CHUNK", "5"))
+    workers = int(os.environ.get("SPARK_FUZZ_THREADS", "6"))
     total_conds = 0
     total_finds = 0
     for seed in range(FIRST, FIRST + N):
@@ -75,57 +109,47 @@ def main():
             conds.append((c, node))
         df = spark.createDataFrame(
             rows, "ts long, labels map<string,string>").coalesce(1)
-        cols, meta = [], []
-        for i, (c, node) in enumerate(conds):
-            sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
-            cols.append(_as_bool(sv).alias(f"s{i}v"))
-            cols.append(sv["e"].alias(f"s{i}e"))
-            try:
-                fc = FlatCompiler(F.col("ts"), F.col("labels"), strict=True)
-                fv = fc.compile(node)
-                cols.append(F.coalesce(_truthy(fv), F.lit(False))
-                            .alias(f"f{i}v"))
-                cols.append(_emsg(fv).alias(f"f{i}e"))
-                meta.append((c, node, True))
-            except Unsupported:
-                meta.append((c, node, False))
-        try:
-            res = df.select(*cols).collect()
-        except Exception as e:  # noqa: BLE001 — a codegen crash IS a find
-            print(f"[seed {seed}] JOB-LEVEL ERROR: {type(e).__name__}: "
-                  f"{str(e)[:400]}")
-            total_finds += 1
-            continue
-        total_conds += len(conds)
-        for i, (c, node, flat_ok) in enumerate(meta):
-            want = [interp_strict(node, ts, lb) for ts, lb in rows]
-            for tier, vcol, ecol, on in (
-                    ("struct", f"s{i}v", f"s{i}e", True),
-                    ("flat", f"f{i}v", f"f{i}e", flat_ok)):
-                if not on:
+        items = list(enumerate(conds))
+        chunks = [items[j:j + chunk_sz]
+                  for j in range(0, len(items), chunk_sz)]
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futures = [ex.submit(_compile_chunk, df, ch) for ch in chunks]
+            for fut in futures:
+                try:
+                    res, meta = fut.result()
+                except Exception as e:  # noqa: BLE001 — a crash IS a find
+                    print(f"[seed {seed}] JOB-LEVEL ERROR: "
+                          f"{type(e).__name__}: {str(e)[:400]}")
+                    total_finds += 1
                     continue
-                for r, (wv, we), (ts, lb) in zip(res, want, rows):
-                    gv, ge = r[vcol], r[ecol]
-                    if we is not None:
-                        if ge != we:
-                            print(f"[seed {seed}] {tier} STRICT-MSG "
-                                  f"DIVERGES: cond={json.dumps(c)} "
-                                  f"row=({ts},{lb}) got={ge!r} "
-                                  f"want={we!r}")
-                            total_finds += 1
-                            break
-                    else:
-                        if ge is not None or bool(gv) != bool(wv):
-                            print(f"[seed {seed}] {tier} STRICT-VAL "
-                                  f"DIVERGES: cond={json.dumps(c)} "
-                                  f"row=({ts},{lb}) got=({gv},{ge!r}) "
-                                  f"want=({wv},None)")
-                            total_finds += 1
-                            break
-        # flush every seed: this workload is codegen-compilation-bound
-        # (minutes per seed), and a 25-seed cadence leaves a nohup
-        # session blind for hours — the partial totals ARE the evidence
-        # when a block outruns a round
+                total_conds += len(meta)
+                for i, c, node, flat_ok in meta:
+                    want = [interp_strict(node, ts, lb) for ts, lb in rows]
+                    for tier, vcol, ecol, on in (
+                            ("struct", f"s{i}v", f"s{i}e", True),
+                            ("flat", f"f{i}v", f"f{i}e", flat_ok)):
+                        if not on:
+                            continue
+                        for r, (wv, we), (ts, lb) in zip(res, want, rows):
+                            gv, ge = r[vcol], r[ecol]
+                            if we is not None:
+                                if ge != we:
+                                    print(f"[seed {seed}] {tier} STRICT-MSG "
+                                          f"DIVERGES: cond={json.dumps(c)} "
+                                          f"row=({ts},{lb}) got={ge!r} "
+                                          f"want={we!r}")
+                                    total_finds += 1
+                                    break
+                            else:
+                                if ge is not None or bool(gv) != bool(wv):
+                                    print(f"[seed {seed}] {tier} STRICT-VAL "
+                                          f"DIVERGES: cond={json.dumps(c)} "
+                                          f"row=({ts},{lb}) got=({gv},{ge!r}) "
+                                          f"want=({wv},None)")
+                                    total_finds += 1
+                                    break
+        # flush every seed: minutes per seed even chunked — the partial
+        # totals ARE the evidence when a block outruns a round
         print(f"... {seed - FIRST + 1}/{N} seeds, {total_conds} conds, "
               f"{total_finds} finds", flush=True)
     print(f"DONE: {N} seeds, {total_conds} conditions, {total_finds} finds",
