@@ -94,6 +94,10 @@ def main():
     # find for that chunk.
     chunk_sz = int(os.environ.get("SPARK_FUZZ_CHUNK", "5"))
     workers = int(os.environ.get("SPARK_FUZZ_THREADS", "6"))
+    # generator recursion depth: 3 matches the in-suite fuzz; deeper
+    # trees compose more operator interactions per condition (and cost
+    # proportionally more analysis time per seed)
+    depth = int(os.environ.get("SPARK_FUZZ_DEPTH", "3"))
     total_conds = 0
     total_finds = 0
     for seed in range(FIRST, FIRST + N):
@@ -101,7 +105,7 @@ def main():
         rows = gen_rows(rng, 30)
         conds = []
         while len(conds) < 30:
-            c = gen_cond(rng, 3)
+            c = gen_cond(rng, depth)
             try:
                 node, _ = parse_when(json.loads(json.dumps(c)))
             except V.CondError:
