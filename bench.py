@@ -21,6 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # --out <path>: where to write the full-precision artifact.  Default
+    # stays BENCH_LOCAL.json (the committed sf0.1 baseline) — sf1/soak
+    # runs must pass --out so they stop clobbering it (the footgun both
+    # ROUND9_NOTES and the r9 driver run hit).
+    out_path = None
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
@@ -96,7 +104,8 @@ def main() -> None:
     # full-precision artifact on disk: the authoritative per-query map,
     # immune to any stdout capture truncation
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+    out_name = os.path.basename(out_path) if out_path else "BENCH_LOCAL.json"
+    with open(out_path or os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(result, fh, indent=1)
 
     # The driver keeps only the LAST ~2000 chars of stdout; the previous
@@ -127,7 +136,7 @@ def main() -> None:
         for k, v in by_time:
             trial = json.dumps(
                 {**compact, "queries": {**kept, k: v},
-                 "queries_omitted": len(q2), "queries_full": "BENCH_LOCAL.json"},
+                 "queries_omitted": len(q2), "queries_full": out_name},
                 separators=(",", ":"))
             if len(trial) > budget:
                 break
@@ -135,7 +144,7 @@ def main() -> None:
         line = json.dumps(
             {**compact, "queries": kept,
              "queries_omitted": len(q2) - len(kept),
-             "queries_full": "BENCH_LOCAL.json"}, separators=(",", ":"))
+             "queries_full": out_name}, separators=(",", ":"))
     print(line)
     spark.stop()
 

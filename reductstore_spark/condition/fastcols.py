@@ -71,6 +71,176 @@ class Unsupported(Exception):
     """AST shape outside the fast path — use the struct compiler."""
 
 
+# -- compile-size budget (round 10) -------------------------------------
+#
+# The FV representation carries several independent lane Columns, and
+# every operator embeds each operand's lanes into multiple branches of
+# each result lane, so the COMPILED expression tree (the form Catalyst's
+# analyzer traverses — shared Column objects are a DAG at construction
+# but are walked structurally, i.e. as a tree) grows exponentially with
+# AST nesting depth even though the AST stays tiny.  A depth-4 fuzz
+# condition (r9 seed 8318 block) pinned a driver core >70 min in eager
+# analysis; a synthetic $in($in($contains)) chain at AST depth 3 already
+# expands to a 3-million-node tree.  The reference interprets its AST
+# per row (condition.rs) and has no compile stage, so this cost is ours
+# alone — and it is a DoS-shaped hazard on any serving path that accepts
+# `when` JSON.
+#
+# Defense in three cheap layers, all degrading through the EXISTING
+# ``Unsupported`` seam to the let-bound struct tier (columns.py), which
+# is O(ast) and equivalence-tested:
+#
+# 1. AST guard: conditions with >= _BUDGET_AST_NODES nodes or operator
+#    nesting >= _BUDGET_AST_DEPTH never even start a flat compile (the
+#    Column CONSTRUCTION itself costs tens of seconds of py4j calls for
+#    deep $in chains).  Realistic reference conditions are depth <= 3.
+# 2. Screen: a pure-Python per-op upper-bound estimate of the expanded
+#    tree size (_est_size — factors validated against measured sizes
+#    over the depth-4 fuzz corpus: est/true ratio in [2.9, 7e5], never
+#    below 1).  Conditions under _SCREEN_EST (the overwhelmingly common
+#    case) pay nothing beyond this O(ast) walk.
+# 3. Exact measure: screened conditions are compiled, then the true
+#    expanded tree size is computed by a memoized walk of the JVM
+#    ColumnNode DAG (O(distinct nodes), seconds at worst) and compared
+#    against _BUDGET_TREE.  The estimate alone cannot decide — it
+#    overshoots harmless shapes like $cast chains by up to 7e5x.
+#
+# _BUDGET_TREE = 250k nodes analyzes in ~5 s (measured ~20-50 us/node);
+# the stall class starts around 3M.  With the validated >=2.9 est/true
+# floor, any condition whose true size exceeds the budget estimates
+# above 2.9 * 250k > _SCREEN_EST, so it cannot slip past the screen.
+_BUDGET_AST_NODES = 128
+_BUDGET_AST_DEPTH = 7
+_SCREEN_EST = 500_000
+_BUDGET_TREE = 250_000
+
+_LOGICAL_OPS = ("$and", "$or", "$not", "$xor")
+_CMP_EQ_OPS = ("$eq", "$ne")
+_CMP_ORD_OPS = ("$gt", "$gte", "$lt", "$lte")
+_ARITH_OPS = ("$add", "$sub", "$mult", "$div", "$div_num", "$rem")
+_STRING_OPS = ("$contains", "$starts_with", "$ends_with")
+_DATE_OPS = ("$second", "$minute", "$hour", "$day", "$month", "$year",
+             "$weekday")
+
+
+def _ast_stats(node: Node):
+    """(node count, operator nesting depth) of a condition AST."""
+    if not isinstance(node, Op):
+        return 1, 0
+    n, d = 1, 0
+    for o in node.operands:
+        cn, cd = _ast_stats(o)
+        n += cn
+        d = max(d, cd)
+    return n, d + 1
+
+
+def _est_size(node: Node, strict: bool) -> int:
+    """Upper-bound estimate of the expanded compiled-tree size.
+
+    Per-op factors model how many times each operand's lane trees are
+    embedded across the result FV's lanes (value/exact/error/message
+    branches).  Calibrated against memoized-walk measurements over the
+    depth-4 fuzz corpus (seeds 8300-8319, 492 compilable conditions)
+    plus synthetic $in chains: the estimate never fell below 2.9x the
+    true size, so it is safe as a SCREEN (layer 2 above) — never as the
+    final verdict (it overshoots $cast/date chains by orders of
+    magnitude, which is why over-screen conditions get the exact
+    measurement instead of an immediate fallback)."""
+    s = 3 if strict else 0
+    if isinstance(node, Const):
+        return 1
+    if isinstance(node, (LabelRef, ComputedRef)):
+        return 60  # unbound worst case: the label_parts expansion
+    assert isinstance(node, Op)
+    name = node.name
+    ch = [_est_size(o, strict) for o in node.operands]
+    if name in _LOGICAL_OPS:
+        return (6 + s) * sum(ch) + 20 * len(ch) + 20
+    if name in _CMP_EQ_OPS:
+        return (10 + s) * sum(ch) + 20
+    if name in _CMP_ORD_OPS:
+        return (12 + s) * sum(ch) + 30
+    if name in ("$in", "$nin"):
+        # the head is re-embedded by _eq once per item — the dominant
+        # super-exponential shape (nested $in chains)
+        head, items = ch[0], ch[1:]
+        return ((10 + s) * len(items) * head + (10 + s) * sum(items)
+                + 20 * len(items) + 20)
+    if name in _ARITH_OPS:
+        return (14 + s) * sum(ch) + 40
+    if name == "$abs":
+        return (8 + s) * ch[0] + 20
+    if name in _STRING_OPS:
+        return (30 + s) * sum(ch) + 40  # _display embeds num/raw heavily
+    if name in _DATE_OPS:
+        return (12 + s) * ch[0] + 40
+    if name == "$exists":
+        return sum((30 + s) * c for c in ch) + 30
+    if name == "$cast":
+        return (30 + s) * ch[0] + 60
+    if name == "$ref":
+        if node.operands and isinstance(node.operands[0], Const):
+            return 60
+        return (30 + s) * (ch[0] if ch else 1) + 120
+    if name == "$timestamp":
+        return 4
+    # unknown op: _op will raise Unsupported anyway; stay conservative
+    return 50 * sum(ch) + 100
+
+
+def _measured_tree_size(cols: List[Column], cap: int) -> int:
+    """True expanded tree size of the compiled lane Columns.
+
+    Walks the JVM ColumnNode graph iteratively with memoization keyed on
+    JVM object identity (System.identityHashCode — py4j wrapper ids are
+    fresh per round-trip, so Python-side ids never hit).  Shared nodes
+    are traversed once but COUNTED per reference, which is exactly how
+    Catalyst's structural transforms expand the DAG.  Cost is O(distinct
+    nodes) py4j calls — bounded by construction cost, never by the
+    expanded size.  Returns ``cap`` early if the running total passes it
+    (callers only need the over/under verdict)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no JVM to measure against: treat as over budget
+        return cap
+    ihc = sc._jvm.System.identityHashCode
+    memo = {}
+
+    def size_of(root) -> int:
+        # iterative post-order (two-phase frames) so shared-node folds
+        # always see their children memoized first
+        root_key = ihc(root)
+        stack = [(root, root_key, None)]
+        while stack:
+            n, key, kid_keys = stack.pop()
+            if kid_keys is None:
+                if key in memo:
+                    continue
+                kids = []
+                it = n.children().iterator()
+                while it.hasNext():
+                    c = it.next()
+                    kids.append((c, ihc(c)))
+                stack.append((n, key, [k for _, k in kids]))
+                for c, k in kids:
+                    if k not in memo:
+                        stack.append((c, k, None))
+            else:
+                if key in memo:
+                    continue
+                memo[key] = 1 + sum(memo[k] for k in kid_keys)
+        return memo[root_key]
+
+    total = 0
+    for c in cols:
+        total += size_of(c._jc.node())
+        if total > cap:
+            return cap
+    return total
+
+
 @dataclass
 class FV:
     """A compiled sub-expression.
@@ -362,6 +532,10 @@ class FlatCompiler:
         # planner materialized below the filter (see label_parts)
         self.label_fvs = label_fvs or {}
         self.computed_fvs = computed_fvs or {}
+        # compile-size budget bookkeeping: the guard layers run once per
+        # OUTERMOST compile() call; recursive self.compile() calls from
+        # operator bodies take the direct path
+        self._in_compile = False
 
     # -- public ----------------------------------------------------------
     def predicate(self, node: Node) -> Column:
@@ -413,6 +587,36 @@ class FlatCompiler:
         return F.lit(f"Reference '{sigil}{name}' not found")
 
     def compile(self, node: Node) -> FV:
+        if self._in_compile:
+            return self._compile(node)
+        # layer 1: never start a flat compile on a pathologically deep or
+        # wide AST — Column construction alone is tens of seconds there
+        n_nodes, depth = _ast_stats(node)
+        if n_nodes >= _BUDGET_AST_NODES or depth >= _BUDGET_AST_DEPTH:
+            raise Unsupported(
+                f"condition too large for the flat tier "
+                f"({n_nodes} nodes, depth {depth})")
+        # layer 2: cheap upper-bound screen — the common case stops here
+        screened = _est_size(node, self.strict) > _SCREEN_EST
+        self._in_compile = True
+        try:
+            fv = self._compile(node)
+        finally:
+            self._in_compile = False
+        if screened:
+            # layer 3: exact expanded-tree measurement of every lane
+            lanes = [c for c in (fv.raw, fv.num, fv.lng, fv.err, fv.emsg)
+                     if c is not None]
+            if isinstance(fv.flt, Column):
+                lanes.append(fv.flt)
+            if lanes:
+                measured = _measured_tree_size(lanes, _BUDGET_TREE)
+                if measured >= _BUDGET_TREE:
+                    raise Unsupported(
+                        f"compiled tree exceeds {_BUDGET_TREE}-node budget")
+        return fv
+
+    def _compile(self, node: Node) -> FV:
         if isinstance(node, Const):
             return FV(const=node.value)
         if isinstance(node, LabelRef):

@@ -59,8 +59,52 @@ def parse_when(when: Any) -> Tuple[Node, Dict[str, List[Value]]]:
         # second parse silently lost #ctx_before/#select_labels)
         when = dict(when)
     directives = _parse_directives(when)
-    expressions = _parse_recursively(when)
-    return Op("$and", expressions), directives
+    try:
+        expressions = _parse_recursively(when)
+    except RecursionError:
+        # absurdly deep JSON blows the Python stack before the size cap
+        # below can run — surface the same bounded-condition error the
+        # serving layers expect instead of an internal error
+        raise CondError(
+            f"Condition exceeds maximum nesting depth "
+            f"{MAX_CONDITION_DEPTH}")
+    root = Op("$and", expressions)
+    _check_size(root)
+    return root, directives
+
+
+# Parse-time condition-size cap (round 10): every serving path that
+# accepts `when` JSON from outside (query cursor, zenoh queryable,
+# signed query links) funnels through parse_when, so a hostile or
+# runaway-generated condition is rejected HERE — before any compile
+# tier sees it.  The compiled flat tier additionally self-limits
+# (fastcols compile-size budget) because its expanded tree can be
+# exponential in nesting depth; this cap is the outer defense that
+# keeps even the O(ast) struct/interpreter tiers bounded.  The bounds
+# are far above anything the reference's own tests or clients produce
+# (realistic conditions nest <= 3 deep; the deepest in-repo fuzz
+# generation is ~8 including wrappers).
+MAX_CONDITION_DEPTH = 16
+MAX_CONDITION_NODES = 2048
+
+
+def _check_size(root: Op) -> None:
+    def walk(node, depth):
+        if depth > MAX_CONDITION_DEPTH:
+            raise CondError(
+                f"Condition exceeds maximum nesting depth "
+                f"{MAX_CONDITION_DEPTH}")
+        if not isinstance(node, Op):
+            return 1
+        n = 1
+        for o in node.operands:
+            n += walk(o, depth + 1)
+        return n
+
+    if walk(root, 0) > MAX_CONDITION_NODES:
+        raise CondError(
+            f"Condition exceeds maximum size of "
+            f"{MAX_CONDITION_NODES} nodes")
 
 
 def _parse_directive_primitive(key: str, v: Any) -> Value:

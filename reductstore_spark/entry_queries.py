@@ -1938,10 +1938,17 @@ def q_dedup_spans_cdc(spark, sf_dir):
     prep(spark)
     from .operators.dedup import span_dedup_cdc
     docs = _t(spark, sf_dir, "documents")
-    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8, min_words=4)
+    out = span_dedup_cdc(docs, "doc_id", "text", avg_words=8,
+                         min_words=_SPANS_CDC_MIN_WORDS)
     return out.select("doc_id", "n_spans", "n_kept",
                       F.md5("new_text").alias("new_md5"))
 
+
+# One constant drives BOTH the operator call above and the oracle's two
+# floor literals below — a change to either side alone cannot silently
+# desync them (r9 ADVICE; the parity gate would catch it late, this
+# catches it at import).
+_SPANS_CDC_MIN_WORDS = 4
 
 SQL_DEDUP_SPANS_CDC = """
 WITH RECURSIVE docs AS (
@@ -1964,14 +1971,15 @@ raw AS (
          len(sps) AS n
   FROM sp, UNNEST(range(0, len(sps))) AS t(i)
 ),
--- greedy min_words=4 floor: walk raw spans left-to-right per doc; a
--- comb of >= 4 words is emitted and the carry resets, else it merges
+-- greedy min_words floor (literal formatted from _SPANS_CDC_MIN_WORDS):
+-- walk raw spans left-to-right per doc; a comb of >= min_words words is
+-- emitted and the carry resets, else it merges
 -- into the next raw span (mirrors the Spark F.aggregate fold exactly)
 walk AS (
   SELECT doc_id, pos, n, span AS comb FROM raw WHERE pos = 0
   UNION ALL
   SELECT r.doc_id, r.pos, r.n,
-         CASE WHEN len(string_split(w.comb, ' ')) >= 4 THEN r.span
+         CASE WHEN len(string_split(w.comb, ' ')) >= {mw} THEN r.span
               ELSE w.comb || ' ' || r.span END
   FROM walk w JOIN raw r ON r.doc_id = w.doc_id AND r.pos = w.pos + 1
 ),
@@ -1981,7 +1989,7 @@ spans AS (
            AS span_pos,
          comb AS span
   FROM walk
-  WHERE len(string_split(comb, ' ')) >= 4 OR pos = n - 1
+  WHERE len(string_split(comb, ' ')) >= {mw} OR pos = n - 1
 ),
 firsts AS (
   SELECT span, min(doc_id * 1048576 + span_pos) AS fkey
@@ -2004,7 +2012,7 @@ SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
 FROM documents d
 LEFT JOIN stats st USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
-"""
+""".replace("{mw}", str(_SPANS_CDC_MIN_WORDS))
 
 
 def q_sample_split(spark, sf_dir):

@@ -778,6 +778,18 @@ class SubscriberPipeline:
         if on_error not in ("abort", "skip"):
             raise ValueError(
                 f"on_error must be 'abort' or 'skip', got {on_error!r}")
+        # A failing api-request guard (auth/token/limits) is batch-GLOBAL:
+        # probe it once up front so skip mode raises instead of rejecting
+        # every sample individually and returning a success-shaped dict
+        # with records=0 — silent total data loss for a caller that
+        # ignores the rejected list (r9 ADVICE).  The per-sample guard in
+        # _decode_sample still runs (reference parity: subscriber.rs
+        # checks per callback), so a guard that starts failing MID-batch
+        # is still caught sample-by-sample.
+        try:
+            self._check_api_request()
+        except Exception as err:
+            raise IngestError(str(err))
         kept: Dict[tuple, tuple] = {}  # (bucket, entry, ts) -> (row, size)
         rejected = []
         for idx, sample in enumerate(samples):
@@ -803,6 +815,14 @@ class SubscriberPipeline:
             # replaces the earlier one (dict insertion order keeps the
             # first-seen position, value the newest sample)
             kept[(row[0], row[1], row[2])] = (row, size)
+        if samples and not kept:
+            # nothing survived a non-empty batch (e.g. ingress guard
+            # rejecting every sample): loud, because skip-mode callers
+            # that only read `records` would otherwise see silent loss
+            log.warning(
+                "Zenoh batch ingest: all %d samples rejected for "
+                "bucket='%s' (first: %s)", len(samples), self.bucket,
+                rejected[0]["error"] if rejected else "n/a")
         if kept:
             self._write_rows([row for row, _size in kept.values()])
         return {"bucket": self.bucket, "records": len(kept),

@@ -789,3 +789,23 @@ def test_handle_samples_skip_rejects_alone(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_error"):
         pipe.handle_samples([], on_error="nope")
+
+
+def test_handle_samples_skip_batch_global_failure_raises(spark, tmp_path):
+    """A failing api-request guard (auth/token/limits) is batch-global:
+    skip mode must RAISE, not reject every sample individually and
+    return a success-shaped dict with records=0 that a caller ignoring
+    the rejected list reads as silent total data loss (r9 ADVICE)."""
+    from reductstore_spark.sources.zenoh import Sample
+    store = RecordStore(spark, str(tmp_path / "s"))
+
+    def deny_all():
+        raise RuntimeError("token rejected")
+
+    pipe = SubscriberPipeline(ZenohApiConfig(bucket="b1"), store,
+                              check_api_request=deny_all,
+                              now_us=iter(range(1, 100)).__next__)
+    with pytest.raises(IngestError, match="token rejected"):
+        pipe.handle_samples([Sample("e", b"a", "t", None, None)],
+                            on_error="skip")
+    assert store.read().count() == 0

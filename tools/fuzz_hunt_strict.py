@@ -100,6 +100,7 @@ def main():
     depth = int(os.environ.get("SPARK_FUZZ_DEPTH", "3"))
     total_conds = 0
     total_finds = 0
+    total_chunk_errors = 0
     for seed in range(FIRST, FIRST + N):
         rng = random.Random(seed)
         rows = gen_rows(rng, 30)
@@ -122,9 +123,15 @@ def main():
                 try:
                     res, meta = fut.result()
                 except Exception as e:  # noqa: BLE001 — a crash IS a find
-                    print(f"[seed {seed}] JOB-LEVEL ERROR: "
+                    # CHUNK-level: one Spark job (5 conditions) failed to
+                    # analyze/collect.  Counted SEPARATELY from semantic
+                    # finds since r10 so finds/conds totals stay
+                    # comparable across rounds (r9 ADVICE: a chunk error
+                    # previously inflated `finds` by one per chunk and
+                    # silently dropped its conditions from total_conds).
+                    print(f"[seed {seed}] CHUNK-LEVEL ERROR: "
                           f"{type(e).__name__}: {str(e)[:400]}")
-                    total_finds += 1
+                    total_chunk_errors += 1
                     continue
                 total_conds += len(meta)
                 for i, c, node, flat_ok in meta:
@@ -155,9 +162,10 @@ def main():
         # flush every seed: minutes per seed even chunked — the partial
         # totals ARE the evidence when a block outruns a round
         print(f"... {seed - FIRST + 1}/{N} seeds, {total_conds} conds, "
-              f"{total_finds} finds", flush=True)
-    print(f"DONE: {N} seeds, {total_conds} conditions, {total_finds} finds",
-          flush=True)
+              f"{total_finds} finds, {total_chunk_errors} chunk errors",
+              flush=True)
+    print(f"DONE: {N} seeds, {total_conds} conditions, {total_finds} finds, "
+          f"{total_chunk_errors} chunk errors", flush=True)
 
 
 if __name__ == "__main__":
