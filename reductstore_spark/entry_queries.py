@@ -4865,3 +4865,36 @@ assert set(_R9_WINDOW) <= QUERIES.keys()
 QUERIES = {k: QUERIES[k]
            for k in [*_R9_WINDOW,
                      *(n for n in QUERIES if n not in set(_R9_WINDOW))]}
+
+# Round-10 driver window (r9 verdict task 3): the two entries round 10
+# touches lead — zenoh_roundtrip (handle_samples now probes the
+# api-request guard once up front so skip mode raises on batch-global
+# failures) and dedup_spans_cdc (oracle floor literals now derive from
+# the shared _SPANS_CDC_MIN_WORDS constant; SQL text unchanged).  Then
+# the full 27-entry r7-stale list from the r9 verdict — which is
+# exactly the condition-family block (when_*/ctx_*/each_*/gate/...),
+# the right rotation for a round whose lead task changed the condition
+# compile tiers.  Remaining slots fill with the oldest r8 rows in r8
+# window order.  Union r1-r10 target: 124/124 with max staleness r8.
+_R10_CHANGED = [
+    "zenoh_roundtrip", "dedup_spans_cdc",
+]
+_R10_STALE = [
+    "ctx_after_limit", "ctx_limit", "curriculum_mix", "each_n",
+    "each_t", "event_pivot", "event_transitions", "gate",
+    "langid_confusion", "length_outliers", "pmi_bigrams", "sql_surface",
+    "vocab_stats", "when_arith", "when_arith2", "when_cast_ref",
+    "when_cmp", "when_date", "when_date2", "when_date_tz",
+    "when_exists", "when_in", "when_logic", "when_logic2",
+    "when_rem_divnum", "when_string", "when_string2",
+]
+assert len(_R10_STALE) == 27 and len(set(_R10_STALE)) == 27
+_R10_FILL = [n for n in _R8_WINDOW
+             if n not in set(_R9_WINDOW)
+             and n not in set(_R10_CHANGED) and n not in set(_R10_STALE)]
+_R10_WINDOW = (_R10_CHANGED + _R10_STALE + _R10_FILL)[:50]
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+assert set(_R10_WINDOW) <= QUERIES.keys()
+QUERIES = {k: QUERIES[k]
+           for k in [*_R10_WINDOW,
+                     *(n for n in QUERIES if n not in set(_R10_WINDOW))]}

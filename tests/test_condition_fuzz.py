@@ -122,7 +122,7 @@ def interp_row(node, ts, labels):
         return False
 
 
-@pytest.mark.parametrize("seed", [23, 41, 59])  # rotated per round (r9)
+@pytest.mark.parametrize("seed", [29, 47, 61])  # rotated per round (r10)
 def test_fuzz_three_backends_agree(spark, seed):
     rng = random.Random(seed)
     rows = gen_rows(rng, 25)
@@ -165,7 +165,7 @@ def test_fuzz_three_backends_agree(spark, seed):
     assert not failures, failures[:3]
 
 
-@pytest.mark.parametrize("seed", [83, 89])  # rotated per round (r9)
+@pytest.mark.parametrize("seed", [97, 101])  # rotated per round (r10)
 def test_fuzz_strict_flat_vs_struct(spark, seed):
     """Strict mode: the flat (codegen) tier and the struct tier must
     raise for exactly the same (condition, row) pairs with the same

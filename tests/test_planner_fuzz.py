@@ -80,7 +80,7 @@ def oracle(rows, when):
     return sorted(out)
 
 
-@pytest.mark.parametrize("seed", [11, 23])  # rotated per round (r9)
+@pytest.mark.parametrize("seed", [31, 43])  # rotated per round (r10)
 def test_planner_tiers_match_oracle(spark, seed):
     rng = random.Random(seed)
     rows = build_rows(rng)
