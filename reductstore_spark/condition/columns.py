@@ -191,6 +191,42 @@ def _bool_result(b: Column, e: Column) -> Column:
     return _mk(F.lit(TBOOL), b=b, e=e)
 
 
+# Struct-tier analysis budget (round 10).  The let-binding keeps the
+# COMPILED tree O(ast), but Catalyst's resolution of nested
+# LambdaFunctions is super-linear in let-nesting: measured on this
+# host, a plain $and chain 4 deep (estimate ~27) analyzes in 42 s, 8
+# deep stalls >100 s, ~12 deep fails with the analyzer's
+# max-iterations error — and the cost is NOT a clean function of path
+# depth alone (one depth-4 fuzz shape at estimate 23 stalled >60 s
+# while a nested-$in chain at 25 analyzed in 4.6 s), so the budget is
+# set conservatively LOW rather than modeled finely.  Everything past
+# it routes to the per-row interpreter tier (condition/rowtier.py),
+# which is the reference's own execution model (condition.rs applies
+# the AST per record) and costs about the same as interpreted struct
+# lambdas anyway — the struct tier's edge over it only matters for
+# shallow shapes, which the budget keeps.  Realistic conditions never
+# reach this gate at all: the FLAT tier compiles them, and the struct
+# tier is only consulted on flat fallback (odd shapes, fuzz output).
+# ``lambda_depth_estimate`` models the deepest let-chain the compiler
+# emits: one let per operand on the path + one per fold step for the
+# scanning ops.
+STRUCT_LAMBDA_BUDGET = 15
+
+_FOLDING_OPS = ("$and", "$or", "$not", "$xor", "$in", "$nin", "$exists")
+
+
+def lambda_depth_estimate(node: Node) -> int:
+    if isinstance(node, Const):
+        return 0
+    if isinstance(node, (LabelRef, ComputedRef)):
+        return 1
+    assert isinstance(node, Op)
+    fold_steps = len(node.operands) if node.name in _FOLDING_OPS else 0
+    deepest = max((lambda_depth_estimate(o) for o in node.operands),
+                  default=0)
+    return deepest + len(node.operands) + 1 + fold_steps
+
+
 class ColumnCompiler:
     """Compiles a stateless AST to a tagged-struct Column expression.
 

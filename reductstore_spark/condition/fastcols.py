@@ -87,8 +87,12 @@ class Unsupported(Exception):
 # `when` JSON.
 #
 # Defense in three cheap layers, all degrading through the EXISTING
-# ``Unsupported`` seam to the let-bound struct tier (columns.py), which
-# is O(ast) and equivalence-tested:
+# ``Unsupported`` seam.  The planner then routes to the let-bound
+# struct tier (columns.py — compiled tree O(ast)) when its
+# nested-lambda ANALYSIS cost allows (columns.STRUCT_LAMBDA_BUDGET:
+# Catalyst's lambda resolution has its own super-linear depth cost,
+# found while landing this budget), else to the bounded per-row
+# interpreter tier (rowtier.py) — the reference's own strategy:
 #
 # 1. AST guard: conditions with >= _BUDGET_AST_NODES nodes or operator
 #    nesting >= _BUDGET_AST_DEPTH never even start a flat compile (the

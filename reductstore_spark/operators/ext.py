@@ -274,6 +274,15 @@ def _label_expr_compiled(df: DataFrame, params,
                                        label_columns, label_fvs)
         except Exception:
             pass
+        # struct-tier lambda-analysis budget (see condition/columns.py):
+        # a too-deep expression raises out of the dry-run below, routing
+        # the whole pipeline to the bounded mapInPandas interpreter path
+        from ..condition.columns import (
+            STRUCT_LAMBDA_BUDGET,
+            lambda_depth_estimate,
+        )
+        if lambda_depth_estimate(node) > STRUCT_LAMBDA_BUDGET:
+            raise CondError("label_expr too deep for the compiled tiers")
         cc = ColumnCompiler(F.col("ts"), F.col("labels"), base)
         v = cc.value(node)
         bound = F.struct(v.alias("v"))

@@ -135,6 +135,14 @@ def _predicate(df: DataFrame, node: Node, strict: bool, label_columns=None):
                             strict=strict).predicate(node)
     except Unsupported:
         pass
+    # struct tier unless its nested-lambda analysis would stall (deep
+    # conditions past the flat compile-size budget land here) — then the
+    # bounded per-row interpreter tier (reference parity: condition.rs
+    # applies the AST per record)
+    from ..condition.columns import STRUCT_LAMBDA_BUDGET, lambda_depth_estimate
+    if lambda_depth_estimate(node) > STRUCT_LAMBDA_BUDGET:
+        from ..condition.rowtier import interpreter_predicate
+        return interpreter_predicate(node, strict, computed_col=computed)
     return compile_predicate(node, strict=strict, computed_col=computed)
 
 
@@ -280,6 +288,11 @@ def _bound_or_struct(df: DataFrame, node: Node, strict: bool,
     except Unsupported:
         pass
     computed = "computed_labels" if "computed_labels" in df.columns else None
+    from ..condition.columns import STRUCT_LAMBDA_BUDGET, lambda_depth_estimate
+    if lambda_depth_estimate(node) > STRUCT_LAMBDA_BUDGET:
+        from ..condition.rowtier import interpreter_predicate
+        return df, interpreter_predicate(node, strict,
+                                         computed_col=computed), []
     return df, compile_predicate(node, strict=strict, computed_col=computed), []
 
 

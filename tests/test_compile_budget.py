@@ -118,6 +118,90 @@ def test_realistic_conditions_stay_flat(spark):
         assert fv is not None
 
 
+def _deep_and(d):
+    """Plain nested $and chain — NOT adversarial, yet the struct tier's
+    nested-lambda analysis takes 42 s at 4 levels, stalls >100 s at 8,
+    and hits the analyzer's max-iterations failure near 12.  The planner
+    must route past STRUCT_LAMBDA_BUDGET to the per-row interpreter."""
+    c = {"$gt": ["&a", 1]}
+    for _ in range(d):
+        c = {"$and": [c, {"$eq": ["&b", 1]}]}
+    return c
+
+
+def test_struct_lambda_budget_routes_to_interpreter(spark):
+    from reductstore_spark.condition.columns import (
+        STRUCT_LAMBDA_BUDGET,
+        lambda_depth_estimate,
+    )
+
+    rows = [
+        (1, {"a": "5", "b": "1"}),
+        (2, {"a": "0", "b": "1"}),
+        (3, {"a": "5", "b": "2"}),
+        (4, {"b": "1"}),  # &a missing: non-strict -> excluded
+    ]
+    df = spark.createDataFrame(rows, "ts long, labels map<string,string>")
+    node = _parse(_deep_and(8))
+    assert lambda_depth_estimate(node) > STRUCT_LAMBDA_BUDGET
+    t0 = time.time()
+    pred = _predicate(df, node, strict=False)
+    got = sorted(r["ts"] for r in df.filter(pred).collect())
+    elapsed = time.time() - t0
+
+    def want(ts, labels):
+        try:
+            return V.as_bool(Evaluator(node).apply(Context(ts, labels)))
+        except V.CondError:
+            return False
+
+    expect = sorted(ts for ts, lb in rows if want(ts, lb))
+    assert got == expect == [1]
+    # the struct tier stalls >100 s on this shape; the row tier is
+    # seconds (generous bound for contended CI hosts)
+    assert elapsed < 60, f"deep $and chain took {elapsed:.0f}s"
+
+
+def test_row_tier_strict_raises_reference_message(spark):
+    """Strict mode through the interpreter tier must abort with the
+    interpreter's exact error text (the ground truth for the reference's
+    filters/when.rs messages), JVM-side via raise_error."""
+    df = spark.createDataFrame([(1, {"b": "1"})],
+                               "ts long, labels map<string,string>")
+    node = _parse(_deep_and(8))  # references &a, which is missing
+    pred = _predicate(df, node, strict=True)
+    with pytest.raises(Exception, match="Reference '&a' not found"):
+        df.filter(pred).collect()
+
+
+def test_registry_shapes_never_reach_the_row_tier(spark):
+    """Realistic conditions compile on the FLAT tier, so the struct
+    lambda gate (consulted only on flat fallback) is irrelevant for
+    them — pin that, plus that a shallow shape which DOES fall back
+    stays under the struct budget."""
+    from reductstore_spark.condition.columns import (
+        STRUCT_LAMBDA_BUDGET,
+        lambda_depth_estimate,
+    )
+
+    cases = [
+        {"$and": [{"$gt": ["&score", 10]}, {"$eq": ["&lang", "en"]}]},
+        {"$and": [{"$gte": [{"$hour": ["$timestamp"]}, 9]},
+                  {"$in": ["&tier", "gold", "silver"]}]},
+        {"$or": [{"$and": [{"$gt": ["&a", 1]}, {"$lt": ["&b", 2]}]},
+                 {"$and": [{"$eq": ["&c", 3]}, {"$ne": ["&d", 4]}]}]},
+    ]
+    for c in cases:
+        fv = FlatCompiler(F.col("ts"), F.col("labels")).compile(_parse(c))
+        assert fv is not None, c  # flat handles it; gate never consulted
+    # depth-1/2 shapes stay under the struct budget if they ever fall back
+    assert lambda_depth_estimate(
+        _parse({"$eq": ["&a", "x"]})) <= STRUCT_LAMBDA_BUDGET
+    assert lambda_depth_estimate(
+        _parse({"$and": [{"$gt": ["&a", 1]},
+                         {"$eq": ["&b", 2]}]})) <= STRUCT_LAMBDA_BUDGET
+
+
 def _hostile_when(depth=20):
     """Deeper than MAX_CONDITION_DEPTH once the implicit root $and is
     counted — rejected at parse time, before any compile tier."""

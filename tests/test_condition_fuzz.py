@@ -13,7 +13,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from reductstore_spark.condition import values as V
-from reductstore_spark.condition.columns import ColumnCompiler
+from reductstore_spark.condition.columns import (
+    STRUCT_LAMBDA_BUDGET,
+    ColumnCompiler,
+    lambda_depth_estimate,
+)
 from reductstore_spark.condition.fastcols import FlatCompiler, Unsupported
 from reductstore_spark.condition.interpreter import Context, Evaluator
 from reductstore_spark.condition.parser import parse_when
@@ -137,32 +141,105 @@ def test_fuzz_three_backends_agree(spark, seed):
 
     df = spark.createDataFrame(rows, "ts long, labels map<string,string>").coalesce(1)
     cols = []
-    meta = []  # (cond, node, flat_supported)
+    meta = []  # (cond, node, struct_supported, flat_supported)
     for i, (c, node) in enumerate(conds):
-        struct_pred = ColumnCompiler(F.col("ts"), F.col("labels")).predicate(node)
-        cols.append(struct_pred.alias(f"s{i}"))
+        # struct-tier lambda-analysis gate (r10): same routing the
+        # planner applies — deep let-chains stall the analyzer, so past
+        # the budget only the flat tier (its own budget inside) runs
+        struct_ok = lambda_depth_estimate(node) <= STRUCT_LAMBDA_BUDGET
+        if struct_ok:
+            struct_pred = ColumnCompiler(
+                F.col("ts"), F.col("labels")).predicate(node)
+            cols.append(struct_pred.alias(f"s{i}"))
         try:
             flat_pred = FlatCompiler(F.col("ts"), F.col("labels")).predicate(node)
             cols.append(flat_pred.alias(f"f{i}"))
-            meta.append((c, node, True))
+            meta.append((c, node, struct_ok, True))
         except Unsupported:
-            meta.append((c, node, False))
+            meta.append((c, node, struct_ok, False))
     res = df.select(*cols).collect()
 
-    n_flat = sum(1 for _, _, ok in meta if ok)
+    n_flat = sum(1 for _, _, _, ok in meta if ok)
     assert n_flat >= len(conds) * 0.6, f"flat path covers only {n_flat}/{len(conds)}"
 
     failures = []
-    for i, (c, node, flat_ok) in enumerate(meta):
+    for i, (c, node, struct_ok, flat_ok) in enumerate(meta):
         want = [interp_row(node, ts, labels) for ts, labels in rows]
-        got_struct = [r[f"s{i}"] for r in res]
-        if got_struct != want:
-            failures.append(("struct", c, got_struct, want))
+        if struct_ok:
+            got_struct = [r[f"s{i}"] for r in res]
+            if got_struct != want:
+                failures.append(("struct", c, got_struct, want))
         if flat_ok:
             got_flat = [r[f"f{i}"] for r in res]
             if got_flat != want:
                 failures.append(("flat", c, got_flat, want))
     assert not failures, failures[:3]
+
+
+def gen_adversarial_cond(rng, depth):
+    """Generator biased to the WORST compile-expansion shapes: nested
+    $in/$nin (the head FV re-embeds once per item), $contains over
+    derived operands, and $cast chains.  The uniform gen_cond rarely
+    nests $in inside $in, which is exactly the family that expands to
+    multi-million-node trees and motivated the fastcols compile-size
+    budget — this generator exercises that seam on purpose."""
+    if depth <= 0:
+        return gen_operand(rng, 0)
+    op = rng.choice(["$in", "$in", "$nin", "$contains", "$cast", "$add"])
+    if op in ("$in", "$nin"):
+        n = rng.randint(2, 3)
+        return {op: [gen_adversarial_cond(rng, depth - 1),
+                     *[gen_adversarial_cond(rng, depth - 2)
+                       for _ in range(n)]]}
+    if op == "$contains":
+        return {op: [gen_adversarial_cond(rng, depth - 1),
+                     gen_operand(rng, 0)]}
+    if op == "$cast":
+        return {"$eq": [{"$cast": [gen_adversarial_cond(rng, depth - 1),
+                                   rng.choice(["string", "float", "int"])]},
+                        rng.choice(["1", 0, 2.5])]}
+    return {op: [gen_adversarial_cond(rng, depth - 1), gen_operand(rng, 0)]}
+
+
+@pytest.mark.parametrize("seed", [7010])
+def test_fuzz_adversarial_expansion_shapes(spark, seed):
+    """The budget seam end-to-end: deliberately expansion-hostile
+    conditions (nested $in chains at depth 4) must either compile on
+    the flat tier within the budget or fall back through the planner to
+    the struct tier — and in BOTH cases match the interpreter row for
+    row, with the whole batch completing in bounded time (pre-budget,
+    one such condition could pin the driver for an hour)."""
+    import time
+
+    from reductstore_spark.plans.planner import _predicate
+
+    rng = random.Random(seed)
+    rows = gen_rows(rng, 20)
+    conds = []
+    while len(conds) < 6:
+        c = gen_adversarial_cond(rng, 4)
+        if not isinstance(c, dict):
+            continue
+        try:
+            node, _ = parse_when(json.loads(json.dumps(c)))
+        except V.CondError:
+            continue
+        conds.append((c, node))
+    df = spark.createDataFrame(
+        rows, "ts long, labels map<string,string>").coalesce(1)
+    t0 = time.time()
+    failures = []
+    for c, node in conds:
+        pred = _predicate(df, node, strict=False)
+        got = sorted(r["ts"] for r in df.filter(pred).collect())
+        want = sorted(ts for ts, lb in rows if interp_row(node, ts, lb))
+        if got != want:
+            failures.append((c, got, want))
+    elapsed = time.time() - t0
+    assert not failures, failures[:2]
+    # bounded: 6 hostile conditions end-to-end.  Generous for slow CI
+    # hosts, but far below the single-condition stall this guards.
+    assert elapsed < 600, f"adversarial batch took {elapsed:.0f}s"
 
 
 @pytest.mark.parametrize("seed", [97, 101])  # rotated per round (r10)
@@ -247,17 +324,19 @@ def test_strict_fuzz_three_tiers_message_parity(spark, seed):
         rows, "ts long, labels map<string,string>").coalesce(1)
     cols, meta = [], []
     for i, (c, node) in enumerate(conds):
-        sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
-        cols.append(_as_bool(sv).alias(f"s{i}v"))
-        cols.append(sv["e"].alias(f"s{i}e"))
+        struct_ok = lambda_depth_estimate(node) <= STRUCT_LAMBDA_BUDGET
+        if struct_ok:
+            sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+            cols.append(_as_bool(sv).alias(f"s{i}v"))
+            cols.append(sv["e"].alias(f"s{i}e"))
         try:
             fv = FlatCompiler(F.col("ts"), F.col("labels"),
                               strict=True).compile(node)
             cols.append(F.coalesce(_truthy(fv), F.lit(False)).alias(f"f{i}v"))
             cols.append(_emsg(fv).alias(f"f{i}e"))
-            meta.append((c, node, True))
+            meta.append((c, node, struct_ok, True))
         except Unsupported:
-            meta.append((c, node, False))
+            meta.append((c, node, struct_ok, False))
     res = df.select(*cols).collect()
 
     def interp(node, ts, labels):
@@ -267,9 +346,9 @@ def test_strict_fuzz_three_tiers_message_parity(spark, seed):
             return None, str(e)
 
     failures = []
-    for i, (c, node, flat_ok) in enumerate(meta):
+    for i, (c, node, struct_ok, flat_ok) in enumerate(meta):
         want = [interp(node, ts, lb) for ts, lb in rows]
-        for tier, vcol, ecol, on in (("struct", f"s{i}v", f"s{i}e", True),
+        for tier, vcol, ecol, on in (("struct", f"s{i}v", f"s{i}e", struct_ok),
                                      ("flat", f"f{i}v", f"f{i}e", flat_ok)):
             if not on:
                 continue

@@ -28,8 +28,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from reductstore_spark.condition import values as V  # noqa: E402
 from reductstore_spark.condition.columns import (  # noqa: E402
+    STRUCT_LAMBDA_BUDGET,
     ColumnCompiler,
     _as_bool,
+    lambda_depth_estimate,
 )
 from reductstore_spark.condition.fastcols import (  # noqa: E402
     FlatCompiler,
@@ -59,21 +61,33 @@ def interp_strict(node, ts, labels):
 
 def _compile_chunk(df, chunk):
     """Build both column tiers for a chunk of (index, (cond, node)) and
-    collect them in one select.  Returns (rows, meta)."""
+    collect them in one select.  Returns (rows, meta); meta carries
+    per-tier availability flags (struct_ok, flat_ok).
+
+    Struct-tier gate (r10): Catalyst's nested-lambda resolution is
+    super-linear in let-nesting depth — r9's depth-4 block stalled a
+    driver core >70 min on ONE condition, and measurement this round
+    showed the stalling tier was the STRUCT one (the same conditions'
+    flat trees are 83-244k nodes, i.e. seconds).  Conditions past
+    STRUCT_LAMBDA_BUDGET skip the struct columns; the flat tier (its
+    own compile-size budget inside) still runs when it can, compared
+    against the interpreter as always."""
     cols, meta = [], []
     for i, (c, node) in chunk:
-        sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
-        cols.append(_as_bool(sv).alias(f"s{i}v"))
-        cols.append(sv["e"].alias(f"s{i}e"))
+        struct_ok = lambda_depth_estimate(node) <= STRUCT_LAMBDA_BUDGET
+        if struct_ok:
+            sv = ColumnCompiler(F.col("ts"), F.col("labels")).value(node)
+            cols.append(_as_bool(sv).alias(f"s{i}v"))
+            cols.append(sv["e"].alias(f"s{i}e"))
         try:
             fc = FlatCompiler(F.col("ts"), F.col("labels"), strict=True)
             fv = fc.compile(node)
             cols.append(F.coalesce(_truthy(fv), F.lit(False))
                         .alias(f"f{i}v"))
             cols.append(_emsg(fv).alias(f"f{i}e"))
-            meta.append((i, c, node, True))
+            meta.append((i, c, node, struct_ok, True))
         except Unsupported:
-            meta.append((i, c, node, False))
+            meta.append((i, c, node, struct_ok, False))
     return df.select(*cols).collect(), meta
 
 
@@ -134,10 +148,10 @@ def main():
                     total_chunk_errors += 1
                     continue
                 total_conds += len(meta)
-                for i, c, node, flat_ok in meta:
+                for i, c, node, struct_ok, flat_ok in meta:
                     want = [interp_strict(node, ts, lb) for ts, lb in rows]
                     for tier, vcol, ecol, on in (
-                            ("struct", f"s{i}v", f"s{i}e", True),
+                            ("struct", f"s{i}v", f"s{i}e", struct_ok),
                             ("flat", f"f{i}v", f"f{i}e", flat_ok)):
                         if not on:
                             continue
