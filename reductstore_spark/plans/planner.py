@@ -398,6 +398,16 @@ def _rewrite_counter_conjunct(df: DataFrame, node: Node, strict: bool,
     except Unsupported:
         pref_pred = rest_pred = None
     if pref_pred is None:
+        # struct-tier lambda-analysis budget (condition/columns.py): a
+        # too-deep prefix/rest falls back to the interpreter stateful
+        # pipeline (return None) rather than stalling the analyzer here
+        from ..condition.columns import (
+            STRUCT_LAMBDA_BUDGET,
+            lambda_depth_estimate,
+        )
+        if max(lambda_depth_estimate(pref_node),
+               lambda_depth_estimate(rest_node)) > STRUCT_LAMBDA_BUDGET:
+            return None
         computed = "computed_labels" if "computed_labels" in df.columns else None
         pref_pred = compile_predicate(pref_node, strict=strict, computed_col=computed)
         rest_pred = compile_predicate(rest_node, strict=strict, computed_col=computed)
