@@ -50,9 +50,15 @@ def release_local_checkpoint(df: DataFrame) -> bool:
         return False
 
 
-def localcheckpoint_tracked(df: DataFrame) -> DataFrame:
-    """Eager ``localCheckpoint`` whose blocks ``release_caches()`` frees."""
-    out = df.localCheckpoint()
+def localcheckpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` whose blocks ``release_caches()`` frees.
+
+    ``eager=False`` defers materialization to the first downstream
+    action (the plan is truncated at call time either way), folding the
+    checkpoint's dedicated job into a job the caller runs anyway —
+    callers must guarantee such an action happens before any branch
+    divergence that would recompute the tree."""
+    out = df.localCheckpoint(eager=eager)
     _LIVE_CKPT.append(out)
     return out
 

@@ -2563,7 +2563,10 @@ def q_decontaminate(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 97 != 0)
     evald = docs.where(F.col("doc_id") % 97 == 0)
     sh_t = exploded_shingles(train, "doc_id", "text", 3)
-    sh_e = exploded_shingles(evald, "doc_id", "text", 3).select("s").distinct()
+    # distinct=False on the eval side: the global .distinct() on s below
+    # dedups anyway, so the per-doc dedup aggregation is redundant
+    sh_e = (exploded_shingles(evald, "doc_id", "text", 3, distinct=False)
+            .select("s").distinct())
     shared = (sh_t.join(F.broadcast(sh_e), "s")
               .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared")))
     n = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
@@ -3449,6 +3452,7 @@ def q_pmi_bigrams(spark, sf_dir):
     lead); unigram counts are a broadcastable vocabulary; the two scalar
     totals ride a 1-row broadcast; final top-k is TakeOrderedAndProject."""
     prep(spark)
+    from .caching import persist_tracked
     from .operators.dedup import normalized_words
     from .operators.topk import global_top_k
     docs = _t(spark, sf_dir, "documents")
@@ -3457,10 +3461,17 @@ def q_pmi_bigrams(spark, sf_dir):
     nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
     grams = (words.withColumn("w2", nxt).where(F.col("w2").isNotNull())
              .select(F.col("w").alias("w1"), "w2"))
-    cg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
-    cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    totals = (words.agg(F.count(F.lit(1)).alias("n_uni"))
-              .crossJoin(grams.agg(F.count(F.lit(1)).alias("n_bi"))))
+    # the scalar totals are SUMS over the count tables (n_uni = Σ c,
+    # n_bi = Σ c_xy — exact integer identities), so they ride tiny
+    # aggregates-of-aggregates instead of two extra full corpus passes;
+    # cu/cg are persisted because each is referenced twice (join input +
+    # its total) and three times for cu (cx and cy broadcast sides) —
+    # tokenization now runs twice (unigram + bigram pass) instead of 5x.
+    cg = persist_tracked(
+        grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    cu = persist_tracked(words.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    totals = (cu.agg(F.sum("c").alias("n_uni"))
+              .crossJoin(cg.agg(F.sum("c_xy").alias("n_bi"))))
     pmi = (cg.join(F.broadcast(cu.withColumnRenamed("w", "w1")
                                .withColumnRenamed("c", "cx")), "w1")
            .join(F.broadcast(cu.withColumnRenamed("w", "w2")
@@ -3541,7 +3552,9 @@ def q_minhash_accuracy(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("__text"))
     nh, nb, rows = 8, 4, 2
-    exploded = exploded_shingles(base, "id", "__text", 3)
+    # distinct=False: the groupBy(id).min signature fold is multiset-
+    # insensitive, so the per-doc dedup aggregation is redundant
+    exploded = exploded_shingles(base, "id", "__text", 3, distinct=False)
     hashed = exploded.select(
         "id", *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
                 for i in range(nh)])

@@ -49,33 +49,44 @@ def word_shingles(text: Column, k: int) -> Column:
     return F.transform(F.array(normalized_words(text)), with_words).getItem(0)
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int,
+                      distinct: bool = True) -> DataFrame:
     """(id, shingle) rows, distinct per doc — built with posexplode +
     window lead() so every expression stays in whole-stage codegen (the
-    array-HOF construction evaluates interpreted, ~10x slower at scale)."""
+    array-HOF construction evaluates interpreted, ~10x slower at scale).
+
+    ``distinct=False`` skips the per-doc dedup aggregation and emits one
+    row per shingle OCCURRENCE — for consumers whose downstream
+    aggregation is multiset-insensitive (``min`` per hash,
+    ``collect_set``), where the dedup pass is a pure extra aggregation
+    over the widest intermediate (guide §2.4: remove redundant
+    aggregations; min over a multiset equals min over its set)."""
     from pyspark.sql import Window
 
     words = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w"))
     if k == 1:
-        return words.select("id", F.col("w").alias("s")).distinct()
+        out = words.select("id", F.col("w").alias("s"))
+        return out.distinct() if distinct else out
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
     grams = words.select(
         "id", F.concat_ws(" ", *parts).alias("s"),
         F.lead("w", k - 1).over(w).alias("__last"))
-    return grams.where(F.col("__last").isNotNull()).select("id", "s").distinct()
+    out = grams.where(F.col("__last").isNotNull()).select("id", "s")
+    return out.distinct() if distinct else out
 
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, sh: array<string>) distinct shingle sets via the codegen path:
-    exploded shingles folded back with collect_set.  ~4x faster than the
-    HOF array construction at sf0.1 (whole-stage codegen end to end; the
-    one shuffle is (id, shingle) rows with map-side distinct).  Docs with
+    exploded shingles folded back with collect_set (which dedups, so the
+    explode side skips its own distinct aggregation — one aggregation
+    over the gram stream instead of two).  ~4x faster than the HOF array
+    construction at sf0.1 (whole-stage codegen end to end).  Docs with
     fewer than k words yield NO row — join with the doc table and
     coalesce to empty if completeness matters."""
-    return (exploded_shingles(df, id_col, text_col, k)
+    return (exploded_shingles(df, id_col, text_col, k, distinct=False)
             .groupBy("id").agg(F.collect_set("s").alias("sh")))
 
 
@@ -150,12 +161,19 @@ def minhash_lsh_pairs(
     # signature computation in exploded form: per (doc, shingle) row the 8
     # md5s are FLAT codegen'd expressions; groupBy(id).min folds them with
     # map-side combine.  (Array-HOF form evaluates interpreted: ~10x slower.)
-    exploded = exploded_shingles(base, "id", "__text", shingle_k)
+    # distinct=False: min per hash over the occurrence multiset equals min
+    # over the distinct set, so the per-doc dedup aggregation is dropped.
+    exploded = exploded_shingles(base, "id", "__text", shingle_k,
+                                 distinct=False)
     hashed = exploded.select(
         "id", *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
                 for i in range(num_hashes)])
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(num_hashes)])
+    # persist: the band self-join below references the signature pipeline
+    # on BOTH sides and Spark reuses nothing across self-join branches —
+    # without this the full tokenize+window+hash tree executed twice
+    # (r10 plan audit).  The cached frame is (id, 8 hex strings) per doc.
+    sig = persist_tracked(hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(num_hashes)]))
 
     band_cols = []
     for b in range(num_bands):
@@ -432,11 +450,15 @@ def simhash_near_dup_components(
 
     from ..caching import localcheckpoint_tracked
 
+    # lazy checkpoint: truncates the self-join lineage at call time; the
+    # blocks materialize inside connected_components' first aggregate job
+    # instead of a dedicated up-front job
     mapping = localcheckpoint_tracked(
         simhash64_table(df, id_col, text_col).select(
             F.col(id_col).alias("id"), "sim_hi", "sim_lo",
             F.min(id_col).over(
-                Window.partitionBy("sim_hi", "sim_lo")).alias("rep")))
+                Window.partitionBy("sim_hi", "sim_lo")).alias("rep")),
+        eager=False)
     reps = mapping.where(F.col("id") == F.col("rep")).select(
         "id", "sim_hi", "sim_lo")
     edges = (_banded_pairs_from_sig(reps, "id", max_hamming)
@@ -487,10 +509,12 @@ def minhash_near_dup_components(
     w = Window.partitionBy(F.md5(txt))
     # identical text => identical word count, so the whole md5 group
     # either contracts or stays singletons — never a mixed group
+    # lazy checkpoint: materializes inside the pair pipeline's first
+    # action instead of a dedicated up-front job
     mapping = localcheckpoint_tracked(df.select(
         F.col(id_col).alias("id"),
         F.when(n_words >= F.lit(shingle_k), F.min(id_col).over(w))
-        .otherwise(F.col(id_col)).alias("rep")))
+        .otherwise(F.col(id_col)).alias("rep")), eager=False)
     reps_src = df.join(
         mapping.where(F.col("id") == F.col("rep"))
         .select(F.col("id").alias(id_col)), id_col, "left_semi")
@@ -544,8 +568,15 @@ def connected_components(
       self-join references the step twice) and Catalyst re-analyzes the
       entire upstream candidate-generation tree on every iteration —
       empirically the optimizer, not the data, dominated wall time by
-      round 3.  On a cluster where executor loss must be survivable,
-      swap for reliable ``checkpoint`` with a checkpoint dir.
+      round 3.  Checkpoints are LAZY (``eager=False``): the plan is
+      truncated at call time either way, and the convergence aggregate
+      below is the round's one action, so it materializes the
+      checkpoint and computes the sum in a single job — an eager
+      checkpoint spent a second driver-scheduled job per round on the
+      same tiny data (r10 measured: 2 jobs/round -> 1, and the
+      edges/seed round-0 jobs fold into the first sum the same way).
+      On a cluster where executor loss must be survivable, swap for
+      reliable ``checkpoint`` with a checkpoint dir.
       Superseded rounds' blocks are freed eagerly (each round's
       checkpoint is safe to drop the moment the next one has
       materialized) and the edge list is freed on return — without
@@ -580,19 +611,22 @@ def connected_components(
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst"))).localCheckpoint()
+                             F.col("src").alias("dst"))
+                    ).localCheckpoint(eager=False)
     # round-0 fold: seed every node with min(id, min neighbor id) directly
     # from the edge list — one aggregate instead of the first full
     # join+step round (single-edge components converge immediately)
     labels = (edges.groupBy("src").agg(F.min("dst").alias("__mn"))
               .select(F.col("src").alias("id"),
                       F.least("src", "__mn").alias("lbl"))
-              ).localCheckpoint()
+              ).localCheckpoint(eager=False)
 
     def lblsum(df: DataFrame):
         return df.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
 
+    # materializes the edges AND seed-label checkpoints inside this one
+    # aggregate job (lazy checkpoints above)
     prev = lblsum(labels)
     for _ in range(max_iter):
         nbr = (edges.join(labels.select(F.col("id").alias("dst"), "lbl"),
@@ -613,10 +647,15 @@ def connected_components(
                                        F.col("lbl").alias("plbl")).alias("p"),
                         "lbl", "left")
                   .select("id", F.coalesce("plbl", "lbl").alias("lbl"))
-                  ).localCheckpoint()
-        release_local_checkpoint(labels)  # superseded — jumped is eager
+                  ).localCheckpoint(eager=False)
+        superseded = labels
         labels = jumped
+        # the round's single job: materializes the lazy checkpoint and
+        # computes the convergence sum together.  The superseded round's
+        # blocks are released only AFTER this job (the lazy checkpoint
+        # reads them while materializing — freeing first would lose data).
         cur = lblsum(labels)
+        release_local_checkpoint(superseded)
         if cur == prev:
             break
         prev = cur
