@@ -1335,7 +1335,7 @@ def q_ann_lsh(spark, sf_dir):
     from .operators.similarity import cosine, lsh_bucket, plane_coeffs
     emb = _t(spark, sf_dir, "embeddings")
     planes = plane_coeffs(8, 64)
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    bucketed = emb.withColumn("bucket", lsh_bucket("embedding", planes))
     q = bucketed.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qb"))
     cands = bucketed.where(F.col("vec_id") != 0).join(
@@ -1506,7 +1506,7 @@ def q_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     planes = plane_coeffs(8, 64)
     b = emb.select("vec_id", "embedding",
-                   lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+                   lsh_bucket("embedding", planes).alias("bucket"))
     w = Window.partitionBy("bucket").orderBy("vec_id")
     b = (b.withColumn("__rn", F.row_number().over(w))
          .where(F.col("__rn") <= 512).drop("__rn"))
@@ -3555,19 +3555,22 @@ def q_minhash_accuracy(spark, sf_dir):
     # distinct=False: the groupBy(id).min signature fold is multiset-
     # insensitive, so the per-doc dedup aggregation is redundant
     exploded = exploded_shingles(base, "id", "__text", 3, distinct=False)
-    hashed = exploded.select(
-        "id", *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-                for i in range(nh)])
+    # selectExpr strings: ~100 fewer py4j round-trips per invocation
+    # than the nested-Column form (same resolved plan)
+    hashed = exploded.selectExpr(
+        "id", *[f"md5(concat('{i}|', s)) AS h{i}" for i in range(nh)])
     from .caching import persist_tracked
     # sig feeds the banding plus BOTH estimate join sides; cand feeds the
     # estimate and the id semi-join — persist so the signature aggregation
     # and candidate join each run once, not per reference
     sig = persist_tracked(hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(nh)]))
-    band_cols = [F.md5(F.concat(*[F.col(f"sig{b * rows + r}")
-                                  for r in range(rows)])) for b in range(nb)]
-    banded = sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
+        *[F.expr(f"min(h{i}) AS sig{i}") for i in range(nh)]))
+    band_sql = ", ".join(
+        "md5(concat({}))".format(
+            ", ".join(f"sig{b * rows + r}" for r in range(rows)))
+        for b in range(nb))
+    banded = sig.selectExpr(
+        "id", f"posexplode(array({band_sql})) AS (band_idx, band_hash)")
     a, b = banded.alias("a"), banded.alias("b")
     cand = persist_tracked(
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

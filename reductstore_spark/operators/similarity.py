@@ -96,8 +96,28 @@ def plane_coeffs(num_planes: int, dim: int) -> List[List[int]]:
             for p in range(num_planes)]
 
 
-def lsh_bucket(vec: Column, planes: Sequence[Sequence[int]]) -> Column:
-    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0."""
+def _dot_plane_sql(vec_col: str, coeffs: Sequence[float]) -> str:
+    """SQL text of dot(`vec_col`, literal plane) — the same
+    aggregate/zip_with fold :func:`dot` builds as Columns."""
+    arr = ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in coeffs)
+    return (f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def lsh_bucket(vec, planes: Sequence[Sequence[int]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
+
+    ``vec`` may be a column NAME (preferred: the whole expression is
+    built as one SQL string — a planes x dim literal table costs ~500
+    py4j round-trips per invocation in Column form, one here; same
+    resolved plan) or a Column (compat path, identical semantics)."""
+    if isinstance(vec, str):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_plane_sql(vec, coeffs)} >= 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+            for p, coeffs in enumerate(planes))
+        return F.expr(f"CAST({bits} AS BIGINT)")
     bits = []
     for p, coeffs in enumerate(planes):
         plane = F.array(*[F.lit(float(c)) for c in coeffs])
@@ -116,6 +136,15 @@ def sq_dist(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sq_dist_sql(vec_col: str, coeffs: Sequence[float]) -> str:
+    """SQL text of sq_dist(`vec_col`, literal centroid)."""
+    arr = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in coeffs)
+    return (f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
 def assign_centroids(df: DataFrame, centroids: Sequence[Sequence[float]],
                      vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment (ties -> lowest cid): adds ``cid``.
@@ -123,14 +152,14 @@ def assign_centroids(df: DataFrame, centroids: Sequence[Sequence[float]],
     The centroid table is a broadcast literal — k x dim doubles — so
     assignment is one embarrassingly parallel pass, no shuffle; the
     argmin folds as ``array_min`` over (dist, cid) structs (struct
-    ordering = dist then cid, giving the deterministic tie-break)."""
-    pairs = F.array(*[
-        F.struct(
-            sq_dist(F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-            F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)])
-    return df.withColumn("cid", F.array_min(pairs)["i"])
+    ordering = dist then cid, giving the deterministic tie-break).
+    Built as ONE SQL expression string: the k x dim literal table costs
+    ~k*dim py4j round-trips in Column form, one call here (same
+    resolved plan)."""
+    pairs = ", ".join(
+        f"named_struct('d', {_sq_dist_sql(vec_col, c)}, 'i', {i})"
+        for i, c in enumerate(centroids))
+    return df.withColumn("cid", F.expr(f"array_min(array({pairs})).i"))
 
 
 def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
@@ -167,13 +196,11 @@ def inertia(df: DataFrame, centroids: Sequence[Sequence[float]],
     """Sum of squared distances to the assigned centroid (the k-means
     objective) — one pass, used to verify refinement monotonicity."""
     assigned = assign_centroids(df, centroids, vec_col)
-    pairs = F.array(*[
-        F.struct(sq_dist(F.col(vec_col),
-                         F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                 F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)])
+    pairs = ", ".join(
+        f"named_struct('d', {_sq_dist_sql(vec_col, c)}, 'i', {i})"
+        for i, c in enumerate(centroids))
     return assigned.select(
-        F.sum(F.array_min(pairs)["d"]).alias("j")).collect()[0]["j"]
+        F.expr(f"sum(array_min(array({pairs})).d) AS j")).collect()[0]["j"]
 
 
 def brute_force_topk(df: DataFrame, query_vec_df: DataFrame, k: int,
