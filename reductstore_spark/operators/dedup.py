@@ -703,17 +703,18 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
     loudly (no silent mis-ordering) past the cap; raise the shift for
     longer documents.
     """
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    arr = F.split(txt, " ")
-    n_sp = F.ceil(F.size(arr) / F.lit(span_words)).cast("int")
+    # one F.expr string instead of ~25 py4j Column constructions (r10;
+    # same resolved plan — the lambda/sequence/slice fold is unchanged)
+    txt = f"coalesce(`{text_col}`, '')"
+    arr = f"split({txt}, ' ')"
+    n_sp = f"CAST(ceil(size({arr}) / {span_words}) AS INT)"
     # split("") is [""] in both engines — an empty/null text must yield
     # ZERO spans, so gate on the text length, not the array size
-    spans_col = F.when(F.length(txt) == 0,
-                       F.array().cast("array<string>")) \
-        .otherwise(F.transform(
-            F.sequence(F.lit(0), n_sp - 1),
-            lambda i: F.array_join(
-                F.slice(arr, i * span_words + 1, span_words), " ")))
+    spans_col = F.expr(
+        f"CASE WHEN length({txt}) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, {n_sp} - 1), "
+        f"i -> array_join(slice({arr}, i * {span_words} + 1, {span_words})"
+        f", ' ')) END")
     return _span_dedup_assemble(df, id_col, spans_col)
 
 
@@ -768,58 +769,53 @@ def span_dedup_cdc(df: DataFrame, id_col: str = "doc_id",
     default ``avg_words=8`` that is ~2/3 of raw spans), pinned by the
     metamorphic properties in ``tests/test_llm_ops.py``.
     """
-    txt = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
-                           _CDC_SENT, "")
-    arr = F.split(txt, " ")
-
-    def is_break(w):
-        return (F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
-                .cast("long") % avg_words) == 0
-
-    marked = F.array_join(
-        F.transform(arr, lambda w: F.when(
-            is_break(w), F.concat(w, F.lit(_CDC_SENT))).otherwise(w)),
-        " ")
+    # one F.expr string instead of ~60 py4j Column constructions for the
+    # mark/split/fold chain (r10; same resolved plan — the sentinel
+    # chars embed literally in the SQL string)
+    s = _CDC_SENT
+    txt = f"regexp_replace(coalesce(`{text_col}`, ''), '{s}', '')"
+    arr = f"split({txt}, ' ')"
+    is_break = ("(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+                f" % {avg_words}) = 0")
+    marked = (f"array_join(transform({arr}, w -> CASE WHEN {is_break} "
+              f"THEN concat(w, '{s}') ELSE w END), ' ')")
     # a breakpoint on the final word ends nothing — strip it so the
     # last span never carries a dangling sentinel
-    marked = F.regexp_replace(marked, _CDC_SENT + "$", "")
-    spans_col = F.when(F.length(txt) == 0,
-                       F.array().cast("array<string>")) \
-        .otherwise(F.split(marked, _CDC_SENT + " "))
+    marked = f"regexp_replace({marked}, '{s}$', '')"
+    spans_sql = (f"CASE WHEN length({txt}) = 0 "
+                 f"THEN CAST(array() AS ARRAY<STRING>) "
+                 f"ELSE split({marked}, '{s} ') END")
     if min_words > 1:
-        spans_col = _min_span_merge(spans_col, min_words)
-    return _span_dedup_assemble(df, id_col, spans_col)
+        spans_sql = _min_span_merge_sql(spans_sql, min_words)
+    return _span_dedup_assemble(df, id_col, F.expr(spans_sql))
 
 
-def _min_span_merge(spans: Column, min_words: int) -> Column:
-    """Merge sub-``min_words`` spans forward into their successor: a
-    left-to-right fold (``F.aggregate``) carrying the under-min
-    accumulator; any span reaching ``min_words`` words is emitted and
-    the carry resets.  The trailing carry (document-final remainder)
-    is emitted as-is — it has no successor.  Pure Column, O(total
-    words): the carry never holds more than ``min_words - 1`` words, so
-    the per-step word count is bounded.  Null (not ``''``) marks "no
-    carry" so an empty-string span can never be confused with the
-    reset state."""
-    zero = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("carry"))
-
-    def step(acc, s):
-        comb = F.when(acc["carry"].isNull(), s) \
-                .otherwise(F.concat(acc["carry"], F.lit(" "), s))
-        full = F.size(F.split(comb, " ")) >= min_words
-        return F.struct(
-            F.when(full, F.array_append(acc["out"], comb))
-             .otherwise(acc["out"]).alias("out"),
-            F.when(full, F.lit(None).cast("string"))
-             .otherwise(comb).alias("carry"))
-
-    def fin(acc):
-        return F.when(acc["carry"].isNull(), acc["out"]) \
-                .otherwise(F.array_append(acc["out"], acc["carry"]))
-
-    return F.aggregate(spans, zero, step, fin)
+def _min_span_merge_sql(spans_sql: str, min_words: int) -> str:
+    """SQL text merging sub-``min_words`` spans forward into their
+    successor: a left-to-right fold (``aggregate``) carrying the
+    under-min accumulator; any span reaching ``min_words`` words is
+    emitted and the carry resets.  The trailing carry (document-final
+    remainder) is emitted as-is — it has no successor.  Pure Column,
+    O(total words): the carry never holds more than ``min_words - 1``
+    words, so the per-step word count is bounded.  Null (not ``''``)
+    marks "no carry" so an empty-string span can never be confused with
+    the reset state.  (The ``comb`` expression is textually inlined
+    into each branch exactly as the Column form it replaces inlined its
+    shared sub-Column.)"""
+    comb = ("CASE WHEN acc.carry IS NULL THEN s"
+            " ELSE concat(acc.carry, ' ', s) END")
+    full = f"size(split({comb}, ' ')) >= {min_words}"
+    return (
+        f"aggregate({spans_sql}, "
+        "named_struct('out', CAST(array() AS ARRAY<STRING>), "
+        "'carry', CAST(NULL AS STRING)), "
+        "(acc, s) -> named_struct("
+        f"'out', CASE WHEN {full} THEN array_append(acc.out, {comb})"
+        " ELSE acc.out END, "
+        f"'carry', CASE WHEN {full} THEN CAST(NULL AS STRING)"
+        f" ELSE {comb} END), "
+        "acc -> CASE WHEN acc.carry IS NULL THEN acc.out"
+        " ELSE array_append(acc.out, acc.carry) END)")
 
 
 def _span_dedup_assemble(df: DataFrame, id_col: str,

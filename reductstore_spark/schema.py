@@ -102,37 +102,40 @@ def events_as_records(spark: SparkSession, sf_dir: str,
         ev = ev.where(F.col("ts") >= raw_ts_literal(ev, start_us))
     if stop_us is not None:
         ev = ev.where(F.col("ts") < raw_ts_literal(ev, stop_us))
-    ts_us = raw_ts_us(ev)
-    base_labels = F.create_map(
-        F.lit("user"), F.col("user_id").cast("string"),
-        F.lit("value"), F.col("value").cast("string"),
-        F.lit("k"), F.get_json_object(F.col("props"), "$.k"),
-        F.lit("big"), F.when(F.col("value") > 100.0, F.lit("true")),
-    )
-    return (
-        ev.select(
-            F.lit("events").alias("bucket"),
-            F.col("event_type").alias("entry"),
-            ts_us.alias("ts"),
-            F.lit(None).cast("binary").alias("payload"),
-            F.lit("application/json").alias("content_type"),
-            F.lit(STATE_FINISHED).alias("state"),
-            F.map_filter(base_labels, lambda k, v: v.isNotNull()).alias("labels"),
-            F.lit(None).cast("map<string,string>").alias("computed_labels"),
-            # raw source columns kept so conditions can compile against
-            # them directly (events_label_columns) instead of re-building
-            # the labels map per reference
-            "user_id", "value", "props",
-        )
+    ts_sql = ("ts DIV 1000" if isinstance(ev.schema["ts"].dataType, LongType)
+              else "unix_micros(CAST(ts AS TIMESTAMP))")
+    # one selectExpr call instead of ~40 py4j Column constructions — this
+    # projection is rebuilt for every `when` query invocation (r10)
+    return ev.selectExpr(
+        "'events' AS bucket",
+        "event_type AS entry",
+        f"({ts_sql}) AS ts",
+        "CAST(NULL AS BINARY) AS payload",
+        "'application/json' AS content_type",
+        f"{STATE_FINISHED} AS state",
+        "map_filter(map("
+        "'user', CAST(user_id AS STRING), "
+        "'value', CAST(value AS STRING), "
+        "'k', get_json_object(props, '$.k'), "
+        "'big', CASE WHEN value > CAST(100.0 AS DOUBLE) THEN 'true' END"
+        "), (k, v) -> v IS NOT NULL) AS labels",
+        "CAST(NULL AS MAP<STRING, STRING>) AS computed_labels",
+        # raw source columns kept so conditions can compile against
+        # them directly (events_label_columns) instead of re-building
+        # the labels map per reference
+        "user_id", "value", "props",
     )
 
 
 def events_label_columns():
     """Virtual-label expressions for the events mapping — must mirror the
-    labels map construction above exactly (absent => null)."""
+    labels map construction above exactly (absent => null).  Built as
+    one F.expr call each (4 py4j round-trips instead of ~15; these are
+    rebuilt per `when` query invocation)."""
     return {
-        "user": F.col("user_id").cast("string"),
-        "value": F.col("value").cast("string"),
-        "k": F.get_json_object(F.col("props"), "$.k"),
-        "big": F.when(F.col("value") > 100.0, F.lit("true")),
+        "user": F.expr("CAST(user_id AS STRING)"),
+        "value": F.expr("CAST(value AS STRING)"),
+        "k": F.expr("get_json_object(props, '$.k')"),
+        "big": F.expr("CASE WHEN value > CAST(100.0 AS DOUBLE)"
+                      " THEN 'true' END"),
     }
