@@ -1430,16 +1430,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "|", (F.size(words) / 8).cast("long").cast("string"),
         F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(words)), 1, 3))))
     from .caching import persist_tracked
-    from .operators.dedup import hashed_shingles, shingle_arrays
-    # shingle sets via the codegen path (exploded + collect_set), hashed
-    # to long for the verify intersect, block keys inline; docs shorter
-    # than the shingle width get an empty set
-    arrays = shingle_arrays(docs.select("doc_id", "text"), "doc_id", "text", 2)
+    from .operators.dedup import hashed_shingle_sets
+    # shingle sets hashed to long INSIDE the exploded codegen stage
+    # (hashed_shingle_sets — no interpreted post-collect transform),
+    # block keys inline; docs shorter than the shingle width get an
+    # empty set
+    arrays = hashed_shingle_sets(docs.select("doc_id", "text"),
+                                 "doc_id", "text", 2)
     sh = persist_tracked(
         docs.select("doc_id", block.alias("blk"))
         .join(arrays.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select(F.col("doc_id").alias("id"), "blk",
-                F.coalesce(hashed_shingles(F.col("sh")),
+                F.coalesce(F.col("sh"),
                            F.array().cast("array<long>")).alias("sh"))
     )  # referenced by both join sides — compute shingles once
     # templated corpora can collapse into one huge block and square the
@@ -3547,8 +3549,7 @@ def q_minhash_accuracy(spark, sf_dir):
     semi join); estimates are exact multiples of 1/8, so cross-engine
     comparison is bit-stable."""
     prep(spark)
-    from .operators.dedup import (exploded_shingles, hashed_shingles,
-                                  shingle_arrays)
+    from .operators.dedup import exploded_shingles, hashed_shingle_sets
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("__text"))
     nh, nb, rows = 8, 4, 2
@@ -3588,9 +3589,9 @@ def q_minhash_accuracy(spark, sf_dir):
         "id_a", "id_b", (agree / F.lit(float(nh))).alias("est_jaccard"))
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .union(cand.select(F.col("id_b").alias("id"))).distinct())
-    sets = shingle_arrays(base.join(cand_ids, "id", "left_semi"),
-                          "id", "__text", 3)
-    sets = sets.select("id", hashed_shingles(F.col("sh")).alias("hs"))
+    sets = hashed_shingle_sets(base.join(cand_ids, "id", "left_semi"),
+                               "id", "__text", 3)
+    sets = sets.select("id", F.col("sh").alias("hs"))
     xa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     xb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")

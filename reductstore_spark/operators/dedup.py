@@ -141,6 +141,25 @@ def hashed_shingles(sh: Column) -> Column:
         .cast("long"))
 
 
+def hashed_shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                        k: int) -> DataFrame:
+    """(id, sh: array<long>) — the 60-bit-hashed shingle sets
+    ``shingle_arrays`` + :func:`hashed_shingles` produce, computed the
+    cheap way: the md5 prefix is hashed per exploded (id, gram) row
+    INSIDE whole-stage codegen and ``collect_set`` folds the longs, so
+    no interpreted per-element ``transform`` runs over the collected
+    arrays and the aggregation payload is 8-byte longs instead of gram
+    strings.  Identical output up to a 15-hex-char md5-prefix collision
+    inside one document (~2^-60 per pair — the same negligible-collision
+    contract ``hashed_shingles`` documents; ``array_intersect``
+    consumers dedup either way).  Docs with fewer than k words yield NO
+    row, exactly like ``shingle_arrays``."""
+    return (exploded_shingles(df, id_col, text_col, k, distinct=False)
+            .selectExpr("id", "CAST(conv(substring(md5(s), 1, 15), 16, 10)"
+                              " AS BIGINT) AS h")
+            .groupBy("id").agg(F.collect_set("h").alias("sh")))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -201,9 +220,8 @@ def minhash_lsh_pairs(
     cand = persist_tracked(cand)
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))).distinct()
-    shingle_sets = shingle_arrays(
-        base.join(cand_ids, "id", "left_semi"), "id", "__text", shingle_k
-    ).select("id", hashed_shingles(F.col("sh")).alias("sh"))
+    shingle_sets = hashed_shingle_sets(
+        base.join(cand_ids, "id", "left_semi"), "id", "__text", shingle_k)
     verified = (
         cand
         .join(shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
