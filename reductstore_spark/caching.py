@@ -50,17 +50,48 @@ def release_local_checkpoint(df: DataFrame) -> bool:
         return False
 
 
-def localcheckpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
+def localcheckpoint_tracked(df: DataFrame, eager: bool = True,
+                            materialized_by: str = None) -> DataFrame:
     """``localCheckpoint`` whose blocks ``release_caches()`` frees.
 
     ``eager=False`` defers materialization to the first downstream
     action (the plan is truncated at call time either way), folding the
-    checkpoint's dedicated job into a job the caller runs anyway —
-    callers must guarantee such an action happens before any branch
-    divergence that would recompute the tree."""
+    checkpoint's dedicated job into a job the caller runs anyway.  The
+    contract: that action must run before any branch divergence that
+    would recompute the tree, and the caller must NAME it in
+    ``materialized_by`` (refusing the silent form keeps the contract
+    visible at every call site); ``tests/test_caching_contract.py``
+    verifies the claim with :func:`cached_fraction` — a lazy checkpoint
+    whose blocks are not fully cached after the named action is a
+    silent-recompute bug, exactly the double-execution the lazy form
+    exists to remove."""
+    if not eager and not materialized_by:
+        raise ValueError(
+            "localcheckpoint_tracked(eager=False) requires materialized_by="
+            "'<the downstream action that materializes the blocks>'")
     out = df.localCheckpoint(eager=eager)
     _LIVE_CKPT.append(out)
     return out
+
+
+def cached_fraction(df: DataFrame) -> float:
+    """Fraction of a checkpointed DataFrame's RDD partitions currently in
+    the block manager (0.0 when none, or when ``df`` is not a checkpoint
+    plan).  The probe behind the lazy-checkpoint contract: after the
+    call site's ``materialized_by`` action has run, this must be 1.0 —
+    anything less means a branch diverged before the first action and
+    the checkpoint tree is being recomputed per branch."""
+    try:
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # not a checkpoint plan
+        return 0.0
+    rid = rdd.id()
+    sc = df.sparkSession.sparkContext
+    for info in sc._jsc.sc().getRDDStorageInfo():
+        if info.id() == rid:
+            total = info.numPartitions()
+            return info.numCachedPartitions() / total if total else 1.0
+    return 0.0
 
 
 def release_caches() -> int:

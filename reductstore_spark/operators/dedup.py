@@ -482,7 +482,10 @@ def simhash_near_dup_components(
             F.col(id_col).alias("id"), "sim_hi", "sim_lo",
             F.min(id_col).over(
                 Window.partitionBy("sim_hi", "sim_lo")).alias("rep")),
-        eager=False)
+        eager=False,
+        materialized_by="connected_components' round-0 label-sum job "
+                        "(reads reps -> mapping before the final join "
+                        "branch runs)")
     reps = mapping.where(F.col("id") == F.col("rep")).select(
         "id", "sim_hi", "sim_lo")
     edges = (_banded_pairs_from_sig(reps, "id", max_hamming)
@@ -538,7 +541,10 @@ def minhash_near_dup_components(
     mapping = localcheckpoint_tracked(df.select(
         F.col(id_col).alias("id"),
         F.when(n_words >= F.lit(shingle_k), F.min(id_col).over(w))
-        .otherwise(F.col(id_col)).alias("rep")), eager=False)
+        .otherwise(F.col(id_col)).alias("rep")), eager=False,
+        materialized_by="connected_components' round-0 label-sum job "
+                        "(reads pairs -> reps_src -> mapping before the "
+                        "final join branch runs)")
     reps_src = df.join(
         mapping.where(F.col("id") == F.col("rep"))
         .select(F.col("id").alias(id_col)), id_col, "left_semi")
