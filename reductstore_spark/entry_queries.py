@@ -16,6 +16,7 @@ Conventions for hash-stable outputs:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,6 +44,29 @@ def prep(spark: SparkSession) -> SparkSession:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# corpus-size floor below which pmi_bigrams skips its count-table
+# persists (the cache build costs more than the tokenization passes it
+# saves on tiny inputs; at the 100 TB design point the saved passes are
+# three full corpus tokenizations and the caches are vocabulary-bounded).
+# Env-tunable so cluster deployments can calibrate without a code change.
+_PMI_PERSIST_MIN_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_PMI_PERSIST_MIN_BYTES", 8 * 1024 * 1024))
+
+
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a source table (file or directory of parts) —
+    a pure-metadata size probe for cost-based persist decisions."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path) for f in files)
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62  # unknown (remote path): assume big — persist
 
 
 def _records(spark: SparkSession, sf_dir: str, start_us=None, stop_us=None) -> DataFrame:
@@ -3468,10 +3492,18 @@ def q_pmi_bigrams(spark, sf_dir):
     # aggregates-of-aggregates instead of two extra full corpus passes;
     # cu/cg are persisted because each is referenced twice (join input +
     # its total) and three times for cu (cx and cy broadcast sides) —
-    # tokenization now runs twice (unigram + bigram pass) instead of 5x.
-    cg = persist_tracked(
+    # tokenization then runs twice (unigram + bigram pass) instead of 5x.
+    # The persist is SIZE-CONDITIONAL (guide §1.2/§5: caching is only
+    # worth it when recomputing costs more than the cache build): below
+    # the threshold the two cache materializations cost more than the
+    # three tokenization passes they save (r10 measured +0.4 s at a
+    # 0.6 MB corpus), so tiny inputs recompute and big ones cache.
+    # Result-identical either way — only the pass count changes.
+    _maybe_persist = (persist_tracked if _input_bytes(sf_dir, "documents")
+                      >= _PMI_PERSIST_MIN_BYTES else (lambda df: df))
+    cg = _maybe_persist(
         grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
-    cu = persist_tracked(words.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    cu = _maybe_persist(words.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     totals = (cu.agg(F.sum("c").alias("n_uni"))
               .crossJoin(cg.agg(F.sum("c_xy").alias("n_bi"))))
     pmi = (cg.join(F.broadcast(cu.withColumnRenamed("w", "w1")
