@@ -1443,31 +1443,38 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     prep(spark)
     from .operators.dedup import jaccard, normalized_words
     docs = _t(spark, sf_dir, "documents")
-    words = normalized_words(F.col("text"))
-    # shuffle-invariant block key: coarse length bucket (word count / 8)
-    # + the 3 lexicographically smallest distinct words — word-order
-    # mutations and small insertions usually preserve it (an exact word
-    # count would split every near-dup pair differing by one word into
-    # different blocks), while the bucket keeps templated corpora from
-    # collapsing into one giant block
-    block = F.md5(F.concat_ws(
-        "|", (F.size(words) / 8).cast("long").cast("string"),
-        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(words)), 1, 3))))
     from .caching import persist_tracked
-    from .operators.dedup import hashed_shingle_sets
-    # shingle sets hashed to long INSIDE the exploded codegen stage
-    # (hashed_shingle_sets — no interpreted post-collect transform),
-    # block keys inline; docs shorter than the shingle width get an
-    # empty set
-    arrays = hashed_shingle_sets(docs.select("doc_id", "text"),
-                                 "doc_id", "text", 2)
-    sh = persist_tracked(
-        docs.select("doc_id", block.alias("blk"))
-        .join(arrays.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .select(F.col("doc_id").alias("id"), "blk",
-                F.coalesce(F.col("sh"),
-                           F.array().cast("array<long>")).alias("sh"))
-    )  # referenced by both join sides — compute shingles once
+    # ONE scan of documents (r11; guide §2.4): the block key's
+    # ingredients — word count and the 3 lexicographically smallest
+    # distinct words — ride the SAME exploded word stream and per-doc
+    # aggregation that builds the hashed shingle sets, instead of a
+    # second scan + a doc_id join to attach them.  The block key itself:
+    # coarse length bucket (word count / 8) + 3 smallest distinct words —
+    # word-order mutations and small insertions usually preserve it (an
+    # exact word count would split every near-dup pair differing by one
+    # word into different blocks), while the bucket keeps templated
+    # corpora from collapsing into one giant block.  Shingles hash to
+    # their 60-bit md5-prefix long per exploded row INSIDE whole-stage
+    # codegen (the hashed_shingle_sets formula); docs shorter than the
+    # shingle width get an empty set via the null-skipping collect_set.
+    words = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(normalized_words(F.col("text"))).alias("pos", "w"))
+    nxt = F.lead("w", 1).over(Window.partitionBy("id").orderBy("pos"))
+    gram_h = F.when(nxt.isNotNull(), F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.col("w"), nxt)), 1, 15),
+        16, 10).cast("long"))
+    grams = words.select("id", "w", gram_h.alias("h"))
+    per_doc = grams.groupBy("id").agg(
+        F.collect_set("h").alias("sh"),
+        F.count(F.lit(1)).alias("__nw"),
+        F.array_sort(F.collect_set("w")).alias("__ws"))
+    sh = persist_tracked(per_doc.select(
+        "id",
+        F.md5(F.concat_ws(
+            "|", (F.col("__nw") / 8).cast("long").cast("string"),
+            F.concat_ws(" ", F.slice("__ws", 1, 3)))).alias("blk"),
+        "sh"))  # referenced by both self-join sides — computed once
     # templated corpora can collapse into one huge block and square the
     # verify; blocks beyond the cap are skipped deterministically (the
     # oracle applies the same rule).  The oversized list is <= n/cap rows,
