@@ -13,8 +13,12 @@ def main() -> None:
     paths = sys.argv[1:]
     olds = [json.load(open(p))["queries"] for p in paths[0::2]]
     news = [json.load(open(p))["queries"] for p in paths[1::2]]
-    old = {k: min(d[k] for d in olds if k in d) for k in olds[0]}
-    new = {k: min(d[k] for d in news if k in d) for k in news[0]}
+    # union keys across ALL runs (ADVICE r10): a query present only in
+    # later runs would otherwise silently drop from the table and totals
+    okeys = {k for d in olds for k in d}
+    nkeys = {k for d in news for k in d}
+    old = {k: min(d[k] for d in olds if k in d) for k in okeys}
+    new = {k: min(d[k] for d in news if k in d) for k in nkeys}
     common = sorted(set(old) & set(new))
     rows = [(q, old[q], new[q], old[q] - new[q]) for q in common]
     rows.sort(key=lambda r: -abs(r[3]))

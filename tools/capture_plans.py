@@ -32,7 +32,12 @@ def main() -> None:
     argv = sys.argv[1:]
 
     def opt(name, default=None):
-        return argv[argv.index(name) + 1] if name in argv else default
+        if name not in argv:
+            return default
+        i = argv.index(name)
+        if i + 1 >= len(argv):  # trailing flag without a value (ADVICE r10)
+            sys.exit(f"usage: {name} requires a value")
+        return argv[i + 1]
 
     out_dir = opt("--out-dir", "plans/r10")
     suffix = opt("--suffix", "_before")
