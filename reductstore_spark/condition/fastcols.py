@@ -530,7 +530,10 @@ class FlatCompiler:
         self.strict = strict
         # virtual labels: name -> string Column evaluated directly against
         # source columns, skipping the derived-map construction (a mapped
-        # source otherwise re-parses/re-builds the map once per reference)
+        # source otherwise re-parses/re-builds the map once per reference).
+        # Values may be SQL TEXT (r11: providers emit strings so the
+        # expression-string tier pays zero py4j calls); they wrap into
+        # Columns lazily at the consumption sites (_lc).
         self.label_columns = label_columns or {}
         # pre-bound leaves: name -> (raw, num, flt) attribute Columns the
         # planner materialized below the filter (see label_parts)
@@ -590,6 +593,15 @@ class FlatCompiler:
             return None
         return F.lit(f"Reference '{sigil}{name}' not found")
 
+    def _lc(self, name: str) -> Column:
+        """Virtual-label Column; SQL-text values wrap lazily (the
+        expression-string substrate overrides F with a text builder, so
+        this stays correct under both compilers)."""
+        v = self.label_columns[name]
+        if isinstance(v, str):
+            v = F.expr(v)
+        return v
+
     def compile(self, node: Node) -> FV:
         if self._in_compile:
             return self._compile(node)
@@ -628,7 +640,7 @@ class FlatCompiler:
                 return self._bound(self.label_fvs[node.name],
                                    self._missing("&", node.name))
             if node.name in self.label_columns:
-                return self._label(self.label_columns[node.name],
+                return self._label(self._lc(node.name),
                                    self._missing("&", node.name))
             return self._label(F.element_at(self.labels, F.lit(node.name)),
                                self._missing("&", node.name))
@@ -746,7 +758,7 @@ class FlatCompiler:
                 if lname in self.label_fvs:
                     return self._bound(self.label_fvs[lname], missing)
                 if lname in self.label_columns:
-                    return self._label(self.label_columns[lname], missing)
+                    return self._label(self._lc(lname), missing)
                 return self._label(F.element_at(self.labels, F.lit(lname)),
                                    missing)
             fv = self.compile(o)

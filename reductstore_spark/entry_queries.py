@@ -4954,3 +4954,31 @@ assert set(_R10_WINDOW) <= QUERIES.keys()
 QUERIES = {k: QUERIES[k]
            for k in [*_R10_WINDOW,
                      *(n for n in QUERIES if n not in set(_R10_WINDOW))]}
+
+# Round-11 driver window (r10 verdict task 8): the 26 entries whose
+# latest driver rows are r8 lead — exactly the r10 window's complement
+# within the r8 window (computed, not hand-listed, so the assert below
+# pins the count).  The remaining 24 slots go to condition-family
+# entries whose COMPILE path changed this round (the expression-string
+# tier now compiles every flat-tier `when` predicate;
+# condition/strtier.py): heaviest conditions first, then the stateful /
+# ctx / store rows that route through the same planner seams.  Union
+# r1-r11 target: 124/124 with max staleness r9.
+_R11_STALE = [n for n in _R8_WINDOW
+              if n not in set(_R9_WINDOW) and n not in set(_R10_WINDOW)]
+assert len(_R11_STALE) == 26, len(_R11_STALE)
+_R11_CHANGED = [
+    "when_logic2", "when_string", "when_in", "when_date2", "when_arith",
+    "when_cast_ref", "when_exists", "when_date_tz", "when_rem_divnum",
+    "when_cmp", "ctx_limit", "ctx_after_limit", "gate", "each_t",
+    "each_n", "limit", "strict_mode", "ext_pipeline", "multi_entry",
+    "select_labels", "ctx_each_n", "count", "update_labels",
+    "scan_time_range",
+]
+_R11_WINDOW = (_R11_STALE
+               + [n for n in _R11_CHANGED if n not in set(_R11_STALE)])[:50]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+assert set(_R11_WINDOW) <= QUERIES.keys()
+QUERIES = {k: QUERIES[k]
+           for k in [*_R11_WINDOW,
+                     *(n for n in QUERIES if n not in set(_R11_WINDOW))]}

@@ -315,7 +315,8 @@ def _label_expr_compiled(df: DataFrame, params,
         lnames, _cnames = _collect_refs(node, lnames, set())
     adds, label_fvs = [], {}
     for i, name in enumerate(sorted(lnames)):
-        raw = (label_columns[name]
+        from ..plans.planner import _lc_col
+        raw = (_lc_col(label_columns[name])
                if label_columns and name in label_columns
                else F.element_at(F.col("labels"), F.lit(name)))
         num, flt, lng = label_parts(raw)

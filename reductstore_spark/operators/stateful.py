@@ -150,20 +150,37 @@ def apply_when_stateful_slim(
         return None
 
     computed = "computed_labels" if "computed_labels" in df.columns else None
-    comp = _F.col(computed) if computed else None
-    fc = FlatCompiler(_F.col("ts"), _F.col("labels"), comp,
-                      label_columns=label_columns)
-    cols = [_F.col("bucket"), _F.col("entry"), _F.col("ts")]
-    try:
-        for i, p in enumerate(preds):
-            fv = fc.compile(p)
-            val = (_F.when(_F.coalesce(_err(fv), _F.lit(False)),
-                           _F.lit(None).cast("string"))
-                   .when(_F.coalesce(_truthy(fv), _F.lit(False)), "true")
-                   .otherwise("false"))
-            cols.append(val.alias(f"__p{i}"))
-    except Unsupported:
-        return None
+    base_cols = [_F.col("bucket"), _F.col("entry"), _F.col("ts")]
+    cols = None
+    if all(isinstance(v, str) for v in (label_columns or {}).values()):
+        # expression-string fast path (r11): the 3-state primitive text
+        # mirrors the Column form below exactly
+        from ..condition.strtier import truthy_err_sql
+        try:
+            cols = list(base_cols)
+            for i, p in enumerate(preds):
+                t, e = truthy_err_sql(p, computed, label_columns)
+                cols.append(_F.expr(
+                    f"CASE WHEN ({e}) THEN CAST(NULL AS STRING) "
+                    f"WHEN ({t}) THEN 'true' ELSE 'false' END"
+                ).alias(f"__p{i}"))
+        except Unsupported:
+            cols = None
+    if cols is None:
+        comp = _F.col(computed) if computed else None
+        fc = FlatCompiler(_F.col("ts"), _F.col("labels"), comp,
+                          label_columns=label_columns)
+        cols = list(base_cols)
+        try:
+            for i, p in enumerate(preds):
+                fv = fc.compile(p)
+                val = (_F.when(_F.coalesce(_err(fv), _F.lit(False)),
+                               _F.lit(None).cast("string"))
+                       .when(_F.coalesce(_truthy(fv), _F.lit(False)), "true")
+                       .otherwise("false"))
+                cols.append(val.alias(f"__p{i}"))
+        except Unsupported:
+            return None
 
     np_ = len(preds)
     dirs = dict(directives)

@@ -125,6 +125,14 @@ def _flatten_and(node: Node) -> Node:
 
 def _predicate(df: DataFrame, node: Node, strict: bool, label_columns=None):
     computed = "computed_labels" if "computed_labels" in df.columns else None
+    # expression-string tier first (r11), then the Column tiers
+    if all(isinstance(v, str) for v in (label_columns or {}).values()):
+        from ..condition.strtier import predicate_sql
+        try:
+            return F.expr(predicate_sql(node, computed, label_columns,
+                                        strict))
+        except Unsupported:
+            pass
     # flat codegen-able compiler for the common shapes (~100x faster);
     # strict mode threads error messages through the flat tier (FV.emsg)
     # so it stays on this path too
@@ -165,6 +173,11 @@ def _collect_refs(node: Node, labels=None, computed=None):
     return labels, computed
 
 
+def _lc_col(v):
+    """label_columns values may be SQL text (r11) or Columns."""
+    return F.expr(v) if isinstance(v, str) else v
+
+
 def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None,
                 strict: bool = False):
     """Compile ``nodes`` with the flat compiler over PRE-BOUND leaves.
@@ -187,6 +200,18 @@ def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None,
     Returns (bound_df, [predicate Column per node], added_col_names);
     raises Unsupported if any node is outside the flat subset.
     """
+    # expression-string tier first (r11): the same compiler logic over a
+    # SQL-text substrate — ~2 py4j calls per query instead of ~10^3 of
+    # Column construction (guide §1.2, the measured ~0.5 s/query driver
+    # floor).  Falls back here on any Unsupported (incl. the compile-
+    # size screen, whose exact layer-3 measurement needs Columns).
+    if all(isinstance(v, str) for v in (label_columns or {}).values()):
+        from ..condition.strtier import flat_bound_sql
+        try:
+            return flat_bound_sql(df, nodes, label_columns, strict)
+        except Unsupported:
+            pass
+
     computed_col = "computed_labels" if "computed_labels" in df.columns else None
     label_columns = label_columns or {}
     lnames, cnames = set(), set()
@@ -205,7 +230,7 @@ def _flat_bound(df: DataFrame, nodes: List[Node], label_columns=None,
         return (F.col(ra), F.col(nu), F.col(fl), F.col(lg))
 
     for i, name in enumerate(sorted(lnames)):
-        raw = (label_columns[name] if name in label_columns
+        raw = (_lc_col(label_columns[name]) if name in label_columns
                else F.element_at(F.col("labels"), F.lit(name)))
         label_fvs[name] = bind(name, raw, "lb", i)
     if computed_col:
@@ -492,29 +517,54 @@ def _rewrite_time_stateful(df: DataFrame, node: Node, strict: bool,
     comp = F.col(computed) if computed else None
     pref_node = Op("$and", list(node.operands[:i]))
     rest_node = Op("$and", list(node.operands[i + 1:]))
-    try:
-        fc = FlatCompiler(F.col("ts"), F.col("labels"), comp,
-                          label_columns=label_columns, strict=strict)
-        pref_pred = fc.predicate(pref_node)
-        cols = [F.col("bucket"), F.col("entry"), F.col("ts"),
-                pref_pred.alias("__pref")]
-        if inp_node is not None:
-            if strict:
-                # input errors raise — but only for records the gate
-                # actually evaluates (When short-circuits per row)
-                inp_col = F.when(pref_pred, fc.predicate(inp_node)) \
-                    .otherwise(F.lit(False))
-                ierr_col = F.lit(False)
-            else:
-                nfc = FlatCompiler(F.col("ts"), F.col("labels"), comp,
-                                   label_columns=label_columns)
-                fv = nfc.compile(inp_node)
-                from ..condition.fastcols import _err, _truthy
-                inp_col = F.coalesce(_truthy(fv), F.lit(False))
-                ierr_col = F.coalesce(_err(fv), F.lit(False))
-            cols += [inp_col.alias("__inp"), ierr_col.alias("__ierr")]
-    except Unsupported:
-        return None
+    cols = None
+    if all(isinstance(v, str) for v in (label_columns or {}).values()):
+        # expression-string fast path (r11) — same fallback ladder
+        from ..condition.strtier import predicate_sql, truthy_err_sql
+        try:
+            pref_text = predicate_sql(pref_node, computed, label_columns,
+                                      strict)
+            cols = [F.col("bucket"), F.col("entry"), F.col("ts"),
+                    F.expr(pref_text).alias("__pref")]
+            if inp_node is not None:
+                if strict:
+                    # input errors raise — but only for records the gate
+                    # actually evaluates (When short-circuits per row)
+                    inp_text = predicate_sql(inp_node, computed,
+                                             label_columns, True)
+                    inp_col = F.expr(f"CASE WHEN ({pref_text}) THEN "
+                                     f"({inp_text}) ELSE FALSE END")
+                    ierr_col = F.lit(False)
+                else:
+                    t, e = truthy_err_sql(inp_node, computed, label_columns)
+                    inp_col, ierr_col = F.expr(t), F.expr(e)
+                cols += [inp_col.alias("__inp"), ierr_col.alias("__ierr")]
+        except Unsupported:
+            cols = None
+    if cols is None:
+        try:
+            fc = FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                              label_columns=label_columns, strict=strict)
+            pref_pred = fc.predicate(pref_node)
+            cols = [F.col("bucket"), F.col("entry"), F.col("ts"),
+                    pref_pred.alias("__pref")]
+            if inp_node is not None:
+                if strict:
+                    # input errors raise — but only for records the gate
+                    # actually evaluates (When short-circuits per row)
+                    inp_col = F.when(pref_pred, fc.predicate(inp_node)) \
+                        .otherwise(F.lit(False))
+                    ierr_col = F.lit(False)
+                else:
+                    nfc = FlatCompiler(F.col("ts"), F.col("labels"), comp,
+                                       label_columns=label_columns)
+                    fv = nfc.compile(inp_node)
+                    from ..condition.fastcols import _err, _truthy
+                    inp_col = F.coalesce(_truthy(fv), F.lit(False))
+                    ierr_col = F.coalesce(_err(fv), F.lit(False))
+                cols += [inp_col.alias("__inp"), ierr_col.alias("__ierr")]
+        except Unsupported:
+            return None
 
     from ..operators.stateful import each_t_keys, gate_keys
     keys = df.select(*cols)

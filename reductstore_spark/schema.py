@@ -129,13 +129,14 @@ def events_as_records(spark: SparkSession, sf_dir: str,
 
 def events_label_columns():
     """Virtual-label expressions for the events mapping — must mirror the
-    labels map construction above exactly (absent => null).  Built as
-    one F.expr call each (4 py4j round-trips instead of ~15; these are
-    rebuilt per `when` query invocation)."""
+    labels map construction above exactly (absent => null).  Returned as
+    SQL TEXT (r11): the condition tiers wrap them into Columns lazily
+    (``fastcols.FlatCompiler._lc`` / ``planner._lc_col``), and the
+    expression-string tier consumes the text directly — constructing
+    this dict is now ZERO py4j round-trips per `when` query invocation."""
     return {
-        "user": F.expr("CAST(user_id AS STRING)"),
-        "value": F.expr("CAST(value AS STRING)"),
-        "k": F.expr("get_json_object(props, '$.k')"),
-        "big": F.expr("CASE WHEN value > CAST(100.0 AS DOUBLE)"
-                      " THEN 'true' END"),
+        "user": "CAST(user_id AS STRING)",
+        "value": "CAST(value AS STRING)",
+        "k": "get_json_object(props, '$.k')",
+        "big": "CASE WHEN value > CAST(100.0 AS DOUBLE) THEN 'true' END",
     }

@@ -20,6 +20,7 @@ from reductstore_spark.condition.columns import (
 )
 from reductstore_spark.condition.fastcols import FlatCompiler, Unsupported
 from reductstore_spark.condition.interpreter import Context, Evaluator
+from reductstore_spark.condition.strtier import predicate_sql, truthy_err_sql
 from reductstore_spark.condition.parser import parse_when
 
 LABELS = ["a", "b", "c", "sparse"]
@@ -126,7 +127,7 @@ def interp_row(node, ts, labels):
         return False
 
 
-@pytest.mark.parametrize("seed", [29, 47, 61])  # rotated per round (r10)
+@pytest.mark.parametrize("seed", [211, 223, 227])  # rotated per round (r11)
 def test_fuzz_three_backends_agree(spark, seed):
     rng = random.Random(seed)
     rows = gen_rows(rng, 25)
@@ -154,16 +155,26 @@ def test_fuzz_three_backends_agree(spark, seed):
         try:
             flat_pred = FlatCompiler(F.col("ts"), F.col("labels")).predicate(node)
             cols.append(flat_pred.alias(f"f{i}"))
-            meta.append((c, node, struct_ok, True))
+            flat_ok = True
         except Unsupported:
-            meta.append((c, node, struct_ok, False))
+            flat_ok = False
+        # fourth backend (r11): the expression-string tier — the same
+        # compiler logic over SQL text; must agree wherever it compiles
+        try:
+            cols.append(F.expr(predicate_sql(node)).alias(f"x{i}"))
+            str_ok = True
+        except Unsupported:
+            str_ok = False
+        meta.append((c, node, struct_ok, flat_ok, str_ok))
     res = df.select(*cols).collect()
 
-    n_flat = sum(1 for _, _, _, ok in meta if ok)
+    n_flat = sum(1 for _, _, _, ok, _ in meta if ok)
     assert n_flat >= len(conds) * 0.6, f"flat path covers only {n_flat}/{len(conds)}"
+    n_str = sum(1 for _, _, _, _, ok in meta if ok)
+    assert n_str >= len(conds) * 0.5, f"string path covers only {n_str}/{len(conds)}"
 
     failures = []
-    for i, (c, node, struct_ok, flat_ok) in enumerate(meta):
+    for i, (c, node, struct_ok, flat_ok, str_ok) in enumerate(meta):
         want = [interp_row(node, ts, labels) for ts, labels in rows]
         if struct_ok:
             got_struct = [r[f"s{i}"] for r in res]
@@ -173,6 +184,10 @@ def test_fuzz_three_backends_agree(spark, seed):
             got_flat = [r[f"f{i}"] for r in res]
             if got_flat != want:
                 failures.append(("flat", c, got_flat, want))
+        if str_ok:
+            got_str = [r[f"x{i}"] for r in res]
+            if got_str != want:
+                failures.append(("string", c, got_str, want))
     assert not failures, failures[:3]
 
 
@@ -242,7 +257,7 @@ def test_fuzz_adversarial_expansion_shapes(spark, seed):
     assert elapsed < 600, f"adversarial batch took {elapsed:.0f}s"
 
 
-@pytest.mark.parametrize("seed", [97, 101])  # rotated per round (r10)
+@pytest.mark.parametrize("seed", [197, 199])  # rotated per round (r11)
 def test_fuzz_strict_flat_vs_struct(spark, seed):
     """Strict mode: the flat (codegen) tier and the struct tier must
     raise for exactly the same (condition, row) pairs with the same
@@ -283,6 +298,14 @@ def test_fuzz_strict_flat_vs_struct(spark, seed):
                                     strict=True).predicate(node))
         struct = outcome(ColumnCompiler(F.col("ts"), F.col("labels"))
                          .predicate(node, strict=True))
+        try:
+            stext = predicate_sql(node, strict=True)
+        except Unsupported:
+            stext = None
+        if stext is not None:
+            sres = outcome(F.expr(stext))
+            if sres != flat:
+                failures.append(("string-vs-flat", c, labels, sres, flat))
         try:
             iv = ("ok", V.as_bool(Evaluator(node).apply(Context(ts, labels))))
         except V.CondError:
@@ -334,9 +357,19 @@ def test_strict_fuzz_three_tiers_message_parity(spark, seed):
                               strict=True).compile(node)
             cols.append(F.coalesce(_truthy(fv), F.lit(False)).alias(f"f{i}v"))
             cols.append(_emsg(fv).alias(f"f{i}e"))
-            meta.append((c, node, struct_ok, True))
+            flat_ok = True
         except Unsupported:
-            meta.append((c, node, struct_ok, False))
+            flat_ok = False
+        # string tier (r11): same strict (value, emsg) lanes from text
+        try:
+            from reductstore_spark.condition.strtier import truthy_emsg_sql
+            t, e = truthy_emsg_sql(node)
+            cols.append(F.expr(t).alias(f"x{i}v"))
+            cols.append(F.expr(e).alias(f"x{i}e"))
+            str_ok = True
+        except Unsupported:
+            str_ok = False
+        meta.append((c, node, struct_ok, flat_ok, str_ok))
     res = df.select(*cols).collect()
 
     def interp(node, ts, labels):
@@ -346,10 +379,11 @@ def test_strict_fuzz_three_tiers_message_parity(spark, seed):
             return None, str(e)
 
     failures = []
-    for i, (c, node, struct_ok, flat_ok) in enumerate(meta):
+    for i, (c, node, struct_ok, flat_ok, str_ok) in enumerate(meta):
         want = [interp(node, ts, lb) for ts, lb in rows]
         for tier, vcol, ecol, on in (("struct", f"s{i}v", f"s{i}e", struct_ok),
-                                     ("flat", f"f{i}v", f"f{i}e", flat_ok)):
+                                     ("flat", f"f{i}v", f"f{i}e", flat_ok),
+                                     ("string", f"x{i}v", f"x{i}e", str_ok)):
             if not on:
                 continue
             for r, (wv, we), (ts, lb) in zip(res, want, rows):
