@@ -866,3 +866,18 @@ if _HAVE_HYP:
         if expect:
             assert m1[len(m1) - len(expect):] == expect, (j1, m1, expect)
             assert m2[len(m2) - len(expect):] == expect, (j2, m2, expect)
+
+
+def test_ann_ivf_kernel_choice_is_result_invariant(spark, monkeypatch):
+    """ann_ivf switches its cosine kernel on a vector-count floor
+    (entry_queries._IVF_PD_MIN_ROWS) — a pure cost decision.  Both
+    kernels must produce the identical top-5 result on the real corpus,
+    including the rounded 9-dp centroid-assignment tie-breaks."""
+    import reductstore_spark.entry_queries as EQ
+
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.setattr(EQ, "_IVF_PD_MIN_ROWS", 1 << 62)  # force JVM
+    jvm = sorted(map(tuple, EQ.q_ann_ivf(spark, sf).collect()))
+    monkeypatch.setattr(EQ, "_IVF_PD_MIN_ROWS", 0)  # force numpy
+    pd_res = sorted(map(tuple, EQ.q_ann_ivf(spark, sf).collect()))
+    assert jvm == pd_res and len(jvm) == 5
