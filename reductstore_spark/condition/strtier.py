@@ -370,8 +370,15 @@ _M = _load_text_compiler()
 
 # hard cap on emitted text per query (parser cost guard): the AST-size
 # and screen budgets bound the EXPANDED tree, but text renders shared
-# subtrees by copy, so cap the concrete bytes the SQL parser will see
-_MAX_TEXT = 2_000_000
+# subtrees by copy, so cap the concrete bytes the SQL parser will see.
+# 64 KiB: >2x the largest registry condition (~28 KB), while routing
+# adversarial sharing-heavy shapes — where the layer-2 estimate badly
+# under-counts and this tier has no layer-3 JVM measurement — to the
+# Column ladder.  Measured necessity: a depth-3 fuzz shape (fuzz seed
+# 5008) emitted a 1.3 MB text that passed the old 2 MB cap and OOM'd
+# the driver in parse/codegen; the Column tiers route the same shape
+# to the interpreter.
+_MAX_TEXT = 65_536
 
 
 def _collect_refs(node: Node, labels, computed):

@@ -3,7 +3,8 @@ seed hunts).
 
 Reuses the generator + hostile value pool from tests/test_condition_fuzz.py
 and runs MANY seeds (default 1000..1200) of (conditions x rows), comparing
-the flat compiler, the struct compiler, and the interpreter row-for-row —
+the flat compiler, the struct compiler, the expression-string tier (r11),
+and the interpreter row-for-row —
 non-strict semantics (errors -> excluded).  Any divergence prints the
 minimal (cond, labels, tier, got, want) tuple; pin each find into
 tests/test_columns_equiv.py / test_condition_fuzz.py before fixing.
@@ -32,6 +33,7 @@ from reductstore_spark.condition.interpreter import (  # noqa: E402
     Evaluator,
 )
 from reductstore_spark.condition.parser import parse_when  # noqa: E402
+from reductstore_spark.condition.strtier import predicate_sql  # noqa: E402
 from reductstore_spark.session import get_session  # noqa: E402
 from test_condition_fuzz import gen_cond, gen_rows, interp_row  # noqa: E402
 
@@ -64,9 +66,16 @@ def main():
             try:
                 cols.append(FlatCompiler(F.col("ts"), F.col("labels"))
                             .predicate(node).alias(f"f{i}"))
-                meta.append((c, node, True))
+                flat_ok = True
             except Unsupported:
-                meta.append((c, node, False))
+                flat_ok = False
+            # fourth backend (r11): the expression-string tier
+            try:
+                cols.append(F.expr(predicate_sql(node)).alias(f"x{i}"))
+                str_ok = True
+            except Unsupported:
+                str_ok = False
+            meta.append((c, node, flat_ok, str_ok))
         try:
             res = df.select(*cols).collect()
         except Exception as e:  # noqa: BLE001 — a compile/codegen crash IS a find
@@ -75,10 +84,11 @@ def main():
             total_finds += 1
             continue
         total_conds += len(conds)
-        for i, (c, node, flat_ok) in enumerate(meta):
+        for i, (c, node, flat_ok, str_ok) in enumerate(meta):
             want = [interp_row(node, ts, lb) for ts, lb in rows]
-            for tier, col in (("struct", f"s{i}"),) + (
-                    (("flat", f"f{i}"),) if flat_ok else ()):
+            for tier, col in ((("struct", f"s{i}"),)
+                              + ((("flat", f"f{i}"),) if flat_ok else ())
+                              + ((("string", f"x{i}"),) if str_ok else ())):
                 got = [r[col] for r in res]
                 if got != want:
                     total_finds += 1
